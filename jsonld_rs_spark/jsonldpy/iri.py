@@ -1,0 +1,52 @@
+"""IRI parsing/resolution helpers.
+
+The reference uses the Rust ``url`` crate (``Url::parse`` + RFC 3986 ``join``,
+see /root/reference/src/creation.rs:524-535 and 179-212). We re-express the
+same observable behavior on top of ``urllib.parse`` with two shims:
+
+* ``parse_base`` validates that a base IRI is absolute (has a scheme) and
+  normalizes "authority-only" hierarchical URLs to carry a "/" path, matching
+  ``Url::parse("http://x.test")`` → ``http://x.test/``.
+* ``resolve`` performs RFC 3986 reference resolution for arbitrary schemes
+  (``urljoin`` refuses unknown schemes, so we temporarily register them).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit, uses_netloc, uses_relative
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def has_scheme(value: str) -> bool:
+    return bool(_SCHEME_RE.match(value))
+
+
+def parse_base(value: str) -> str:
+    """Validate + normalize an absolute base IRI; raises ValueError."""
+    if not has_scheme(value):
+        raise ValueError(f"relative URL without a base: {value!r}")
+    scheme, netloc, path, query, frag = urlsplit(value)
+    if netloc and not path:
+        path = "/"
+    return urlunsplit((scheme, netloc, path, query, frag))
+
+
+def _ensure_scheme_registered(scheme: str) -> None:
+    # urljoin only resolves relative refs for schemes it knows; JSON-LD test
+    # suites use http(s) plus the occasional custom scheme.
+    if scheme and scheme not in uses_relative:
+        uses_relative.append(scheme)
+    if scheme and scheme not in uses_netloc:
+        uses_netloc.append(scheme)
+
+
+def resolve(base: str, reference: str) -> str:
+    """RFC 3986 resolution of ``reference`` against absolute ``base``."""
+    if has_scheme(reference):
+        return reference
+    scheme = base.split(":", 1)[0].lower()
+    _ensure_scheme_registered(scheme)
+    # urljoin('http://a/b', '') == 'http://a/b' (minus fragment) per RFC.
+    return urljoin(base, reference)

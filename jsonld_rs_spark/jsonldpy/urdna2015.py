@@ -1,0 +1,287 @@
+"""URDNA2015 (RDF Dataset Canonicalization) — canonical blank-node labels.
+
+Implemented fresh from the public W3C RDF Dataset Canonicalization spec
+(hash-first-degree-quads / hash-n-degree-quads with permutation search).
+The reference has no URDNA2015; its ``BlankNodeGenerator`` trait
+(/root/reference/src/nodemap.rs:206-210) is the designed extension point —
+this module supplies the canonical labeling that replaces the sequential
+``_:bN`` generator for pipeline output, making blank labels content-derived
+and therefore stable under any execution / partition order.
+
+Worst case is factorial (permutation search over "poison" graphs); a work
+budget caps total effort and raises ``CanonicalizationError`` so the Spark
+pipeline can quarantine the document instead of hanging an executor core.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import permutations
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from . import errors as E
+from .rdf import RDF_LANG_STRING, XSD_STRING, Quad
+
+# (graph, quad) pairs are the working unit: URDNA operates on datasets.
+GQuad = Tuple[str, Quad]
+
+DEFAULT_WORK_BUDGET = 50_000
+
+
+def is_blank(term: str) -> bool:
+    return term.startswith("_:")
+
+
+def _escape(value: str) -> str:
+    return (
+        value.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _term_str(term: str, bnode_map: Optional[Dict[str, str]] = None) -> str:
+    if is_blank(term):
+        if bnode_map is not None:
+            return bnode_map.get(term, term)
+        return term
+    return f"<{term}>"
+
+
+def _object_str(quad: Quad, bnode_map: Optional[Dict[str, str]] = None) -> str:
+    if quad.obj_kind == "id":
+        return _term_str(quad.obj_value, bnode_map)
+    lex = f'"{_escape(quad.obj_value)}"'
+    if quad.obj_datatype == RDF_LANG_STRING and quad.obj_lang:
+        return f"{lex}@{quad.obj_lang}"
+    if quad.obj_datatype and quad.obj_datatype != XSD_STRING:
+        return f"{lex}^^<{quad.obj_datatype}>"
+    return lex
+
+
+def nquad_line(graph: str, quad: Quad, bnode_map: Optional[Dict[str, str]] = None) -> str:
+    """Canonical N-Quads serialization of one statement."""
+    parts = [
+        _term_str(quad.subj, bnode_map),
+        f"<{quad.pred}>",
+        _object_str(quad, bnode_map),
+    ]
+    if graph != "@default":
+        parts.append(_term_str(graph, bnode_map))
+    return " ".join(parts) + " ."
+
+
+class IdentifierIssuer:
+    def __init__(self, prefix: str = "_:c14n") -> None:
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: Dict[str, str] = {}
+        self.order: List[str] = []
+
+    def issue(self, existing: str) -> str:
+        label = self.issued.get(existing)
+        if label is None:
+            label = f"{self.prefix}{self.counter}"
+            self.counter += 1
+            self.issued[existing] = label
+            self.order.append(existing)
+        return label
+
+    def copy(self) -> "IdentifierIssuer":
+        dup = IdentifierIssuer(self.prefix)
+        dup.counter = self.counter
+        dup.issued = dict(self.issued)
+        dup.order = list(self.order)
+        return dup
+
+
+class _Canonicalizer:
+    def __init__(self, gquads: List[GQuad], work_budget: int) -> None:
+        self.gquads = gquads
+        self.budget = work_budget
+        self.bnode_quads: Dict[str, List[GQuad]] = {}
+        self.canonical = IdentifierIssuer("_:c14n")
+        self._fdh_cache: Dict[str, str] = {}
+        for graph, quad in gquads:
+            for term in (quad.subj, quad.obj_value if quad.obj_kind == "id" else None, graph):
+                if term is not None and is_blank(term):
+                    self.bnode_quads.setdefault(term, []).append((graph, quad))
+
+    def _spend(self, units: int = 1) -> None:
+        self.budget -= units
+        if self.budget < 0:
+            raise E.CanonicalizationError(E.CANON_TOO_COMPLEX, "work budget exhausted")
+
+    # -- 4.6 Hash First Degree Quads --------------------------------- #
+    def hash_first_degree(self, identifier: str) -> str:
+        cached = self._fdh_cache.get(identifier)
+        if cached is not None:
+            return cached
+        lines = []
+        for graph, quad in self.bnode_quads.get(identifier, []):
+            self._spend()
+            bmap = {}
+            for term in (quad.subj, quad.obj_value if quad.obj_kind == "id" else None, graph):
+                if term is not None and is_blank(term):
+                    bmap[term] = "_:a" if term == identifier else "_:z"
+            lines.append(nquad_line(graph, quad, bmap))
+        lines.sort()
+        digest = hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
+        self._fdh_cache[identifier] = digest
+        return digest
+
+    # -- 4.7 Hash Related Blank Node ---------------------------------- #
+    def hash_related(
+        self, related: str, quad: Quad, issuer: IdentifierIssuer, position: str
+    ) -> str:
+        self._spend()
+        data = position
+        if position != "g":
+            data += f"<{quad.pred}>"
+        if related in self.canonical.issued:
+            data += self.canonical.issued[related]
+        elif related in issuer.issued:
+            data += issuer.issued[related]
+        else:
+            data += self.hash_first_degree(related)
+        return hashlib.sha256(data.encode("utf-8")).hexdigest()
+
+    # -- 4.8 Hash N-Degree Quads -------------------------------------- #
+    def hash_n_degree(
+        self, identifier: str, issuer: IdentifierIssuer
+    ) -> Tuple[str, IdentifierIssuer]:
+        self._spend(10)
+        hn: Dict[str, List[str]] = {}
+        for graph, quad in self.bnode_quads.get(identifier, []):
+            for term, position in (
+                (quad.subj, "s"),
+                (quad.obj_value if quad.obj_kind == "id" else None, "o"),
+                (graph, "g"),
+            ):
+                if term is not None and is_blank(term) and term != identifier:
+                    h = self.hash_related(term, quad, issuer, position)
+                    hn.setdefault(h, []).append(term)
+
+        data_to_hash = ""
+        for related_hash in sorted(hn):
+            data_to_hash += related_hash
+            chosen_path = ""
+            chosen_issuer: Optional[IdentifierIssuer] = None
+            blank_nodes = hn[related_hash]
+            if len(blank_nodes) > 8:
+                raise E.CanonicalizationError(
+                    E.CANON_TOO_COMPLEX, f"{len(blank_nodes)}! permutations"
+                )
+            for perm in permutations(blank_nodes):
+                self._spend(len(perm))
+                issuer_copy = issuer.copy()
+                path = ""
+                recursion_list: List[str] = []
+                skip = False
+                for related in perm:
+                    if related in self.canonical.issued:
+                        path += self.canonical.issued[related]
+                    else:
+                        if related not in issuer_copy.issued:
+                            recursion_list.append(related)
+                        path += issuer_copy.issue(related)
+                    if chosen_path and len(path) >= len(chosen_path) and path > chosen_path:
+                        skip = True
+                        break
+                if skip:
+                    continue
+                for related in recursion_list:
+                    result_hash, result_issuer = self.hash_n_degree(related, issuer_copy)
+                    path += issuer_copy.issue(related)
+                    path += f"<{result_hash}>"
+                    issuer_copy = result_issuer
+                    if chosen_path and len(path) >= len(chosen_path) and path > chosen_path:
+                        skip = True
+                        break
+                if skip:
+                    continue
+                if not chosen_path or path < chosen_path:
+                    chosen_path = path
+                    chosen_issuer = issuer_copy
+            data_to_hash += chosen_path
+            if chosen_issuer is not None:
+                issuer = chosen_issuer
+
+        digest = hashlib.sha256(data_to_hash.encode("utf-8")).hexdigest()
+        return digest, issuer
+
+    # -- 4.4 main ------------------------------------------------------ #
+    def run(self) -> Dict[str, str]:
+        hash_to_bnodes: Dict[str, List[str]] = {}
+        for bnode in self.bnode_quads:
+            hash_to_bnodes.setdefault(self.hash_first_degree(bnode), []).append(bnode)
+
+        non_unique: List[Tuple[str, List[str]]] = []
+        for h in sorted(hash_to_bnodes):
+            nodes = hash_to_bnodes[h]
+            if len(nodes) == 1:
+                self.canonical.issue(nodes[0])
+            else:
+                non_unique.append((h, sorted(nodes)))
+
+        for _, nodes in non_unique:
+            results = []
+            for bnode in nodes:
+                if bnode in self.canonical.issued:
+                    continue
+                temp_issuer = IdentifierIssuer("_:b")
+                temp_issuer.issue(bnode)
+                results.append(self.hash_n_degree(bnode, temp_issuer))
+            results.sort(key=lambda r: r[0])
+            for _, result_issuer in results:
+                for existing in result_issuer.order:
+                    self.canonical.issue(existing)
+
+        return dict(self.canonical.issued)
+
+
+def canonical_labels(
+    gquads: Iterable[GQuad], work_budget: int = DEFAULT_WORK_BUDGET
+) -> Dict[str, str]:
+    """Map every blank-node label in the dataset to its ``_:c14nN`` label."""
+    return _Canonicalizer(list(gquads), work_budget).run()
+
+
+def canonicalize_dataset(
+    dataset: Dict[str, List[Quad]], work_budget: int = DEFAULT_WORK_BUDGET
+) -> Dict[str, List[Quad]]:
+    """Relabel all blank nodes with canonical labels; quads sorted per graph
+    by their canonical N-Quads line for full determinism."""
+    gquads: List[GQuad] = [
+        (graph, quad) for graph, quads in dataset.items() for quad in quads
+    ]
+    mapping = canonical_labels(gquads, work_budget)
+
+    def rename(term: str) -> str:
+        return mapping.get(term, term) if is_blank(term) else term
+
+    out: Dict[str, List[Quad]] = {}
+    for graph, quads in dataset.items():
+        new_graph = rename(graph)
+        renamed = [
+            Quad(
+                subj=rename(q.subj),
+                pred=q.pred,
+                obj_kind=q.obj_kind,
+                obj_value=rename(q.obj_value) if q.obj_kind == "id" else q.obj_value,
+                obj_datatype=q.obj_datatype,
+                obj_lang=q.obj_lang,
+            )
+            for q in quads
+        ]
+        renamed.sort(key=lambda q: nquad_line(new_graph, q))
+        out.setdefault(new_graph, []).extend(renamed)
+    return out
+
+
+def canonical_nquads(dataset: Dict[str, List[Quad]], work_budget: int = DEFAULT_WORK_BUDGET) -> str:
+    """Canonical N-Quads document (sorted lines) — dataset-isomorphism key."""
+    canon = canonicalize_dataset(dataset, work_budget)
+    lines = [nquad_line(g, q) for g, quads in canon.items() for q in quads]
+    return "\n".join(sorted(lines)) + ("\n" if lines else "")
