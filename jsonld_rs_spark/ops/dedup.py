@@ -1,0 +1,172 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2 'training-data pipeline ops').
+
+Design for 100 TB:
+* exact dedup = one shuffle on a 32-hex key (not the full text);
+* MinHash/LSH banding turns all-pairs O(n²) into per-bucket candidate
+  pairs (shuffle key = (band, signature), power-law buckets are bounded by
+  construction because signatures are min-hashes);
+* SimHash = narrow map to a 16-bit signature + self-join on signature;
+* every operator also has an exact ANSI-SQL twin for the DuckDB oracle —
+  hashes use md5 (the one hash both engines share); min-of-md5-hex is a
+  legitimate min-hash because md5 is uniform on its hex ordering.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_BANDS = 4
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, min_copies: int = 1) -> DataFrame:
+    """Exact duplicate groups by content hash; representative = min doc_id.
+    ``min_copies=2`` restricts to actual duplicate groups; the default keeps
+    all groups so the representative choice is verifiable on corpora without
+    duplicates too."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )
+
+
+def _shingles(col="text", k: int = 2):
+    """Word k-shingle array (k=2), expressed with built-in array functions so
+    the whole operator stays JVM-side."""
+    words = F.split(F.col(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def _band_hasher(band: int):
+    prefix = f"b{band}|"
+    # single-arg lambda: PySpark treats 2-arg lambdas as (element, index)
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Per-document banded min-hash signature: band b's signature is
+    min(md5('b<b>|' || shingle)) over word 2-shingles."""
+    shingles = _shingles()
+    cols = [
+        F.array_min(F.transform(shingles, _band_hasher(b))).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def minhash_dup_pairs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ANY band signature.
+    Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
+    no all-pairs comparison ever happens."""
+    sigs = minhash_signatures(docs, bands)
+    exploded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _word_bit(word_col, bit: int):
+    """Deterministic hash bit shared with DuckDB: parity of the ASCII code of
+    the (bit+1)-th hex char of md5(word)."""
+    return F.ascii(F.substring(F.md5(word_col), bit + 1, 1)) % 2
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash signature over words: bit b is the sign of Σ_words (±1)."""
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    aggs = [
+        F.sum(_word_bit(F.col("word"), b) * 2 - 1).alias(f"s{b}") for b in range(bits)
+    ]
+    sums = words.groupBy("doc_id").agg(*aggs)
+    value = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Exact word-2-shingle Jaccard over LSH candidate pairs only (the
+    banded join bounds the candidate set; the exact similarity then filters
+    false positives)."""
+    shingled = docs.select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    )
+    pairs = minhash_dup_pairs(docs, bands)
+    j = (
+        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.999, n_probe: int = 200
+) -> DataFrame:
+    """Embedding-cosine near-duplicates among the first ``n_probe`` vectors
+    (brute-force tier; the LSH-bucketed scale path lives in similarity.py)."""
+    e = embeddings.filter(F.col("vec_id") < n_probe).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schema, batch shape, partition sizing, UDF signatures)
+is real and tested. The actual codec work is STUBBED — this container has
+no image/audio libraries — behind ``decode_stub``: a deterministic fake
+that "decodes" a payload into (width, height, n_frames) derived from its
+bytes, and raises ``NotImplementedError`` when ``strict=True`` so callers
+can't mistake it for a real decoder.
+
+At 100 TB the rules encoded here matter more than the codec:
+* payloads are NEVER shuffled — feature extraction is a narrow
+  ``mapInPandas`` before any wide stage, and only small feature columns
+  flow onward;
+* Arrow batches are byte-budgeted (`maxRecordsPerBatch` low) because
+  payload sizes are power-law.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, bytes:long, source_url:string>"
+)
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "sha256 string, bytes long"
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from documents: payload = utf-8 text
+    bytes; kind cycles image/audio/video."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("x-fake/"), kind).alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("bytes"),
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"), F.col("doc_id")).alias(
+                "source_url"
+            ),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str, strict: bool = False):
+    """STUB decode. A real deployment plugs Pillow/ffmpeg here; the sandbox
+    returns deterministic pseudo-dimensions derived from the payload hash so
+    the downstream plumbing is testable."""
+    if strict:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "wire a real decoder here (Pillow / torchaudio / pyav)"
+        )
+    h = hashlib.sha256(payload).digest()
+    width = 160 + h[0] % 96 * 16
+    height = 120 + h[1] % 54 * 16
+    n_frames = 1 if kind == "image" else 24 + h[2] % 240
+    return width, height, n_frames
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Narrow mapInPandas: payload → small typed feature row. Payload bytes
+    do not survive this stage — nothing heavy is ever shuffled."""
+    import pandas as pd
+
+    src = media.select("media_id", "kind", "payload")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                width, height, n_frames = decode_stub(data, kind)
+                rows.append(
+                    (
+                        int(media_id),
+                        kind,
+                        width,
+                        height,
+                        n_frames,
+                        hashlib.sha256(data).hexdigest(),
+                        len(data),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sha256",
+                    "bytes",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -1,0 +1,78 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (SURVEY.md §2 'training-data pipeline ops').
+
+Every operator is pure column algebra (whole-stage-codegen eligible, no
+Python on the hot path) and has an exact ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` so DuckDB verifies it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (surrounded by spaces so they only match whole words)
+LANG_MARKERS = {"en": " the ", "de": " der ", "fr": " le ", "es": " el "}
+STOPWORD = " the "
+
+
+def _occurrences(col, needle: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count. The synthetic corpus is single-space
+    separated, so tokens = spaces + 1 — exact in both engines."""
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess with deterministic tie-break order
+    en > de > fr > es, else 'und'. (A real system uses char n-gram models;
+    the *shape* — per-language score columns + argmax — is the same.)"""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _occurrences(padded, marker).cast("long").alias(f"score_{lang}")
+            for lang, marker in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first-wins tie-break
+        guess = guess.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_guess", guess)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio quality heuristic in [0,1]."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    ).cast("double")
+    stop_ratio = _occurrences(padded, STOPWORD).cast("double") / n_tokens
+    length_part = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    score = F.round(length_part * 0.7 + stop_ratio * 0.3, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lowercased text plus a
+    coarse 64-char 'head fingerprint' for prefix-bucketing."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fp_md5"),
+        F.md5(F.substring(F.lower(F.col("text")), 1, 64)).alias("fp_head"),
+    )

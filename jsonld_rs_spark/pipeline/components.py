@@ -1,0 +1,156 @@
+"""Connected components over the sameAs graph — canonical entity ids.
+
+Alternating large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins:
+
+* converges in O(log n) rounds on power-law graphs (plain hash-min label
+  propagation needs O(diameter));
+* each round = one salted two-phase min-aggregation + one join of edges
+  against per-node minima. The min-agg is two-phase (pre-aggregate on
+  (node, salt), then on node) so a hub node's neighbor list never collapses
+  onto a single reducer before partial aggregation has shrunk it; the join
+  back is AQE-skew-join eligible.
+* ``localCheckpoint`` every round cuts the lineage chain so plans stay flat
+  over arbitrarily many iterations (and makes each round restartable).
+
+Output: (node, component) with component = min node id of the component —
+deterministic, partition-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_BUCKETS = 16
+
+
+def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    """min(neighbor ∪ self) per node via salted two-phase aggregation."""
+    with_self = edges.select("u", "v").unionByName(
+        edges.select(F.col("u").alias("u"), F.col("u").alias("v")).distinct()
+    )
+    return (
+        with_self.withColumn("__salt", F.pmod(F.xxhash64("v"), F.lit(salt_buckets)))
+        .groupBy("u", "__salt")
+        .agg(F.min("v").alias("m1"))
+        .groupBy("u")
+        .agg(F.min("m1").alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    """For each node u: connect every larger neighbor to min(Γ(u) ∪ u)."""
+    bidir = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbrs = bidir.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    mins = _min_neighbor(nbrs, salt_buckets)
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    """Orient edges high→low; connect all small neighbors (and u) to the min."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    nbrs = oriented.select("u", "v")
+    mins = _min_neighbor(nbrs, salt_buckets)
+    members = nbrs.unionByName(
+        nbrs.select(F.col("u").alias("u"), F.col("u").alias("v")).distinct()
+    )
+    return (
+        members.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame):
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: immune to ANSI long-overflow on the hash sum
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges_df: DataFrame,
+    max_iter: int = 30,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """sameAs edge list (src, dst) → (node, component).
+
+    Deterministic: component id = lexicographic min node id. Self-loops and
+    duplicate/reversed edges are tolerated.
+    """
+    edges = (
+        edges_df.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges_df.select(F.col("src").alias("node"))
+        .unionByName(edges_df.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _large_star(edges, salt_buckets).localCheckpoint()
+        edges = _small_star(edges, salt_buckets).localCheckpoint()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every edge is (node, root); roots map to themselves
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+
+
+def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> DataFrame:
+    """Rewrite subj/obj ids to their canonical component representative
+    (sort-merge joins on the big side; AQE handles skewed hub entities)."""
+    comp = components_df
+    t = triples_df.join(
+        comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "__subj_c"),
+        "subj",
+        "left",
+    )
+    t = t.join(
+        comp.withColumnRenamed("node", "obj_value").withColumnRenamed(
+            "component", "__obj_c"
+        ),
+        ["obj_value"],
+        "left",
+    )
+    return t.select(
+        "url",
+        "graph",
+        F.coalesce("__subj_c", "subj").alias("subj"),
+        "pred",
+        "obj_kind",
+        F.when(F.col("obj_kind") == "id", F.coalesce("__obj_c", "obj_value"))
+        .otherwise(F.col("obj_value"))
+        .alias("obj_value"),
+        "obj_datatype",
+        "obj_lang",
+    )

@@ -1,0 +1,114 @@
+"""Materialization, lineage metrics, and resumable stage checkpoints.
+
+* Triples land in a parquet table **bucketed by subject hash**
+  (``bucket = pmod(xxhash64(subj), B)``, SURVEY.md §2.2 'Sinks') so
+  downstream per-entity readers prune to one bucket. On a real cluster this
+  is ``df.writeTo(...).partitionedBy(bucket(B, "subj"))`` into Iceberg; the
+  sandbox fallback is directory-partitioned parquet with the same layout.
+* The extraction pass emits triples and per-batch metrics in ONE job
+  (triples.extract_records); ``write_records`` persists the combined stream
+  once, then splits it into the triples and metrics tables without
+  recomputing the extraction.
+* Resumability is at url granularity: a restarted run anti-joins the input
+  against urls already present in the output and appends only the remainder
+  (north rule: "resumable from checkpoint with per-partition lineage +
+  metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .triples import TRIPLE_COLUMNS, extract_records, split_records
+
+DEFAULT_BUCKETS = 32
+
+
+def bucketed(triples_df: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return triples_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int")
+    )
+
+
+def write_triples(
+    triples_df: DataFrame, path: str, buckets: int = DEFAULT_BUCKETS, mode: str = "overwrite"
+) -> None:
+    bucketed(triples_df, buckets).write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def write_manifest(spark: SparkSession, out_dir: str, stage: str, run_id: str, status: str,
+                   extra: Optional[Dict] = None) -> None:
+    row = {
+        "stage": stage,
+        "run_id": run_id,
+        "status": status,
+        "ts": time.time(),
+        "extra": json.dumps(extra or {}),
+    }
+    spark.createDataFrame(
+        [row], "stage string, run_id string, status string, ts double, extra string"
+    ).write.mode("append").parquet(_manifest_path(out_dir))
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+    try:
+        return spark.read.parquet(_manifest_path(out_dir))
+    except Exception:
+        return None
+
+
+def extract_and_materialize(
+    pages_df: DataFrame,
+    out_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    resume: bool = True,
+    run_id: Optional[str] = None,
+) -> Dict[str, str]:
+    """pages → {records, triples, metrics} tables under ``out_dir``.
+
+    Single extraction pass; resumable: reruns skip urls whose records are
+    already written (left_anti join — SURVEY.md §2.2 'Semi/anti join').
+    Returns the table paths.
+    """
+    spark = pages_df.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    records_path = os.path.join(out_dir, "records")
+    triples_path = os.path.join(out_dir, "triples")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    todo = pages_df
+    if resume:
+        try:
+            done_urls = spark.read.parquet(records_path).select("url").distinct()
+            todo = pages_df.join(done_urls, "url", "left_anti")
+        except Exception:
+            pass  # nothing written yet → full run
+
+    records = extract_records(todo, stage="extract")
+    records.write.mode("append").parquet(records_path)
+    write_manifest(spark, out_dir, "extract", run_id, "records_done")
+
+    all_records = spark.read.parquet(records_path)
+    triples, metrics = split_records(all_records)
+    write_triples(triples, triples_path, buckets)
+    metrics.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(metrics_path)
+    write_manifest(spark, out_dir, "extract", run_id, "done")
+
+    return {"records": records_path, "triples": triples_path, "metrics": metrics_path}
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples")).select(
+        *TRIPLE_COLUMNS
+    )

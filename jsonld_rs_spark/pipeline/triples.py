@@ -1,0 +1,197 @@
+"""Triple extraction: web pages → canonical RDF triple rows.
+
+The pipeline's heart (SURVEY.md §3.3): one vectorized ``mapInPandas`` stage
+runs, per page, the reference-semantics chain
+``extract ld+json blocks → expand (broadcast context store) → node map →
+toRDF quads → URDNA2015 canonical relabel → doc-namespaced blank labels``
+and explodes the result into triple rows. All cross-document work
+(dedup, joins, CC) stays in DataFrame land — every shuffle is visible in
+the plan, none hidden inside the UDF.
+
+Blank-node labels: URDNA2015 makes labels content-derived *within* a
+document; prefixing them with an 8-hex url hash makes them globally unique
+*across* documents with zero coordination (``_:<urlhash>_c14nN``), so the
+stage stays embarrassingly parallel at any cluster size.
+
+Per-partition lineage: the same pass emits one metrics row per Arrow batch
+(rec_kind='m') carrying docs/blocks/triples/error counters and wall time —
+the write path splits them into the triples table and the metrics table
+without recomputation (see materialize.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Any, Dict, Iterator, List, Optional
+
+from ..extract import extract_jsonld_blocks
+from ..jsonldpy import errors as E
+from ..jsonldpy.expand import expand_core
+from ..jsonldpy.context import Context
+from ..jsonldpy.nodemap import DefaultNodeGenerator
+from ..jsonldpy.rdf import jsonld_to_rdf
+from ..jsonldpy.urdna2015 import canonicalize_dataset, is_blank
+from ..jsonldpy import iri as iri_mod
+from .context_store import BUILTIN_CONTEXTS, make_loader
+
+TRIPLE_COLUMNS = [
+    "url",
+    "graph",
+    "subj",
+    "pred",
+    "obj_kind",
+    "obj_value",
+    "obj_datatype",
+    "obj_lang",
+]
+
+# combined single-pass schema: triple rows (rec_kind='t') + metric rows ('m')
+RECORDS_SCHEMA = (
+    "rec_kind string, url string, graph string, subj string, pred string, "
+    "obj_kind string, obj_value string, obj_datatype string, obj_lang string, "
+    "metrics string"
+)
+
+TRIPLES_DDL = (
+    "url string, graph string, subj string, pred string, obj_kind string, "
+    "obj_value string, obj_datatype string, obj_lang string"
+)
+
+
+def url_ns(url: str) -> str:
+    return hashlib.blake2b(url.encode("utf-8"), digest_size=4).hexdigest()
+
+
+def _namespace(term: str, ns: str) -> str:
+    return f"_:{ns}_{term[2:]}" if is_blank(term) else term
+
+
+def doc_to_quad_rows(
+    url: str,
+    html: bytes,
+    store: Dict[str, Any],
+    counters: Optional[Dict[str, int]] = None,
+) -> List[tuple]:
+    """Pure per-document algorithm; returns triple rows for one page."""
+    loader = make_loader(store)
+    rows: List[tuple] = []
+    blocks = extract_jsonld_blocks(html)
+    if counters is not None:
+        counters["docs"] += 1
+        counters["blocks"] += len(blocks)
+    ns = url_ns(url)
+    for block in blocks:
+        try:
+            doc = json.loads(block)
+        except ValueError:
+            if counters is not None:
+                counters["err_json"] += 1
+            continue
+        try:
+            ctx = Context(base_iri=iri_mod.parse_base(url))
+            expanded = expand_core(ctx, doc, loader)
+            dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
+            dataset = canonicalize_dataset(dataset)
+        except E.CanonicalizationError:
+            if counters is not None:
+                counters["err_canon"] += 1
+            continue
+        except E.JsonLdError:
+            if counters is not None:
+                counters["err_jsonld"] += 1
+            continue
+        for graph, quads in dataset.items():
+            g = _namespace(graph, ns)
+            for q in quads:
+                rows.append(
+                    (
+                        url,
+                        g,
+                        _namespace(q.subj, ns),
+                        q.pred,
+                        q.obj_kind,
+                        _namespace(q.obj_value, ns) if q.obj_kind == "id" else q.obj_value,
+                        q.obj_datatype,
+                        q.obj_lang,
+                    )
+                )
+    if counters is not None:
+        counters["triples"] += len(rows)
+    return rows
+
+
+def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str = "extract"):
+    """pages → combined (triples + per-batch metrics) records DataFrame.
+
+    Reads only (url, html) — column pruning reaches the parquet/page scan.
+    The context store is broadcast once per job.
+    """
+    import pandas as pd
+
+    spark = pages_df.sparkSession
+    store_b = spark.sparkContext.broadcast(store or BUILTIN_CONTEXTS)
+
+    src = pages_df.select("url", "html")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        local_store = store_b.value
+        for pdf in batches:
+            t0 = time.monotonic()
+            counters = {
+                "docs": 0,
+                "blocks": 0,
+                "triples": 0,
+                "err_json": 0,
+                "err_jsonld": 0,
+                "err_canon": 0,
+            }
+            out: List[tuple] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for row in doc_to_quad_rows(url, bytes(html), local_store, counters):
+                    out.append(("t",) + row + (None,))
+            counters["wall_ms"] = int((time.monotonic() - t0) * 1000)
+            counters["partition_id"] = pid
+            counters["stage"] = stage
+            out.append(
+                ("m", None, None, None, None, None, None, None, None, json.dumps(counters))
+            )
+            yield pd.DataFrame(out, columns=["rec_kind"] + TRIPLE_COLUMNS + ["metrics"])
+
+    return src.mapInPandas(run, schema=RECORDS_SCHEMA)
+
+
+def split_records(records_df):
+    """records → (triples_df, metrics_df). Call after persisting records (or
+    let materialize.py write/reload) to avoid recomputing the extraction."""
+    from pyspark.sql import functions as F
+
+    triples = records_df.filter(F.col("rec_kind") == "t").select(*TRIPLE_COLUMNS)
+    metrics_schema = (
+        "stage string, partition_id int, docs long, blocks long, triples long, "
+        "err_json long, err_jsonld long, err_canon long, wall_ms long"
+    )
+    metrics = (
+        records_df.filter(F.col("rec_kind") == "m")
+        .select(F.from_json("metrics", metrics_schema).alias("m"))
+        .select("m.*")
+    )
+    return triples, metrics
+
+
+def extract_triples(pages_df, store: Optional[Dict[str, Any]] = None):
+    """pages → triple rows only (no metrics channel)."""
+    triples, _ = split_records(extract_records(pages_df, store))
+    return triples
+
+
+def dedup_triples(triples_df):
+    """Global triple dedup on triple identity (provenance url excluded);
+    SURVEY.md §2.2 'Distinct / dedup'. One shuffle on the full identity."""
+    return triples_df.dropDuplicates(
+        ["graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
+    )

@@ -1,0 +1,95 @@
+"""Connected components vs a pure-Python union-find golden, including
+hub-skew and determinism under repartitioning (SURVEY.md §7 step 5)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_rs_spark.pipeline.components import canonicalize_subjects, connected_components
+
+
+def union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    # resolve to true minimum per component
+    groups = {}
+    for n, c in comp.items():
+        groups.setdefault(c, []).append(n)
+    return {n: min(g) for c, g in groups.items() for n in g}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = union_find(edges)
+    assert got == want
+
+
+def test_two_chains_and_singleton(spark):
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")]
+    _check(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    _check(spark, edges)
+
+
+def test_hub_skew_graph(spark):
+    # power-law: one hub connected to 300 spokes + a few chains
+    edges = [("hub", f"spoke{i:03d}") for i in range(300)]
+    edges += [(f"spoke{i:03d}", f"leaf{i:03d}") for i in range(0, 300, 3)]
+    edges += [("aaa", "hub")]  # make 'aaa' the component min
+    _check(spark, edges)
+
+
+def test_deterministic_under_repartition(spark):
+    rng = random.Random(7)
+    nodes = [f"v{i}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {tuple(r) for r in connected_components(df.repartition(1)).collect()}
+    b = {tuple(r) for r in connected_components(df.repartition(16)).collect()}
+    assert a == b
+
+
+def test_canonicalize_subjects_rewrites_ids(spark):
+    triples = spark.createDataFrame(
+        [
+            ("u1", "@default", "http://e/b", "http://p/sameAs", "id", "http://e/a", None, None),
+            ("u1", "@default", "http://e/b", "http://p/name", "literal", "B", "xsd:string", None),
+        ],
+        "url string, graph string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_datatype string, obj_lang string",
+    )
+    comps = spark.createDataFrame(
+        [("http://e/b", "http://e/a"), ("http://e/a", "http://e/a")],
+        "node string, component string",
+    )
+    out = canonicalize_subjects(triples, comps)
+    rows = {(r["subj"], r["pred"], r["obj_value"]) for r in out.collect()}
+    assert ("http://e/a", "http://p/name", "B") in rows
+    assert ("http://e/a", "http://p/sameAs", "http://e/a") in rows
+    # literals must never be rewritten even if they textually match a node id
+    lit = [r for r in out.collect() if r["obj_kind"] == "literal"][0]
+    assert lit["obj_value"] == "B"

@@ -1,0 +1,140 @@
+"""Training-data operator tests: dedup family, similarity, text ops,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_rs_spark.ops.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from jsonld_rs_spark.ops.multimodal import decode_stub, extract_features, synthesize_media
+from jsonld_rs_spark.ops.similarity import brute_force_topk, lsh_topk
+from jsonld_rs_spark.ops.text import lang_id, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(dup)
+    groups = exact_dedup(with_dups, min_copies=2).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g["n_copies"] == 2
+        assert g["representative"] < 100000  # min doc_id wins
+
+
+def test_minhash_finds_planted_near_duplicates(spark, docs):
+    # copy 3 docs with one word changed → near-dups share most shingles
+    base = docs.limit(3).collect()
+    edited = [
+        (int(r["doc_id"]) + 100000, r["text"].replace("the", "teh", 1), r["lang"], r["source"], 0)
+        for r in base
+    ]
+    extra = spark.createDataFrame(
+        edited, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = minhash_dup_pairs(docs.unionByName(extra)).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    hits = sum(
+        1 for r in base if (int(r["doc_id"]), int(r["doc_id"]) + 100000) in found
+    )
+    assert hits >= 2  # banding is probabilistic; near-identical docs must mostly hit
+
+
+def test_ngram_jaccard_scores_planted_pairs(spark, docs):
+    base = docs.limit(2).collect()
+    edited = [
+        (int(r["doc_id"]) + 100000, r["text"] + " tail", r["lang"], r["source"], 0)
+        for r in base
+    ]
+    extra = spark.createDataFrame(
+        edited, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = ngram_jaccard_pairs(docs.unionByName(extra), threshold=0.8).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    for r in base:
+        key = (int(r["doc_id"]), int(r["doc_id"]) + 100000)
+        assert key in found and found[key] > 0.9
+
+
+def test_simhash_close_for_near_duplicates(spark, docs):
+    r = docs.limit(1).collect()[0]
+    near = r["text"].replace(r["text"].split()[-1], "zzz")
+    df = spark.createDataFrame(
+        [(1, r["text"], "en", "s", 0), (2, near, "en", "s", 0), (3, "totally different words entirely", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sh = {x["doc_id"]: x["simhash"] for x in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) <= ham(sh[1], sh[3])
+
+
+def test_brute_force_topk_shape_and_order(embeddings):
+    rows = brute_force_topk(embeddings, n_queries=3, k=5).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_lsh_topk_subset_of_bucket_and_sane(embeddings):
+    approx = lsh_topk(embeddings, n_queries=3, k=5).collect()
+    exact = brute_force_topk(embeddings, n_queries=3, k=50).collect()
+    exact_map = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    # every approximate hit must carry the exact cosine value
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_map:
+            assert abs(exact_map[key] - r["cosine"]) < 1e-9
+
+
+def test_embedding_near_dup_with_planted_twin(spark, embeddings):
+    twin = (
+        embeddings.filter(F.col("vec_id") == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    out = embedding_near_dup(embeddings.unionByName(twin).withColumn("vec_id", F.col("vec_id")), threshold=0.9999, n_probe=200000)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (0, 100000) in pairs
+
+
+def test_text_ops_shapes(docs):
+    n = docs.count()
+    assert token_count(docs).count() == n
+    li = lang_id(docs)
+    assert li.filter(F.col("lang_guess") == "en").count() > 0
+    q = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+
+
+def test_multimodal_plumbing(docs):
+    media = synthesize_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    for f in feats[:20]:
+        assert f["width"] > 0 and f["height"] > 0
+        assert (f["n_frames"] == 1) == (f["kind"] == "image")
+        assert len(f["sha256"]) == 64
+
+
+def test_decode_stub_strict_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image", strict=True)

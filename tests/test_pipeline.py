@@ -1,0 +1,104 @@
+"""Pipeline-level tests: per-row invariants and golden triple comparison.
+
+The golden side runs the SAME pure-Python per-document algorithms
+single-threaded on the driver (reference semantics, FIXTURES.md §4); the
+Spark side must reproduce them exactly (P/R = 1.0 ≥ the 0.95 gate) under
+any partitioning.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_rs_spark.extract import extract_jsonld_blocks, extract_text
+from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
+from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages, synthesize_rows
+from jsonld_rs_spark.pipeline.triples import (
+    dedup_triples,
+    doc_to_quad_rows,
+    extract_records,
+    split_records,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    return latest_pages(synthesize_pages(spark, sf_dir)).cache()
+
+
+def _docs_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_text_extraction_byte_identical(pages, sf_dir):
+    rows = pages.select("url", "html", "text").collect()
+    assert len(rows) == len(_docs_pdf(sf_dir))
+    for r in rows:
+        assert extract_text(bytes(r["html"])) == r["text"], r["url"]
+
+
+def test_latest_crawl_wins(spark, sf_dir, pages):
+    all_pages = synthesize_pages(spark, sf_dir)
+    assert all_pages.count() > pages.count()  # stale crawls existed
+    stale = pages.filter(F.col("text").endswith("[stale]")).count()
+    assert stale == 0  # and none survived the window dedup
+
+
+def test_spark_triples_match_pure_python_golden(pages, sf_dir):
+    # golden: single-threaded pure-Python over the same synthesized pages
+    golden = set()
+    for d in _docs_pdf(sf_dir).itertuples():
+        crawls = list(synthesize_rows(int(d.doc_id), d.text, d.lang, d.source))
+        latest = max(crawls, key=lambda r: r["warc_ts"])
+        for row in doc_to_quad_rows(latest["url"], latest["html"], BUILTIN_CONTEXTS):
+            golden.add(row)
+
+    # Compare pre-dedup provenance rows exactly: precision = recall = 1.0
+    spark_raw = {
+        tuple(r) for r in split_records(extract_records(pages))[0].collect()
+    }
+    missing = golden - spark_raw
+    extra = spark_raw - golden
+    assert not missing, f"{len(missing)} golden triples missing, e.g. {list(missing)[:3]}"
+    assert not extra, f"{len(extra)} unexpected triples, e.g. {list(extra)[:3]}"
+
+
+def test_metrics_account_for_malformed_blocks(pages):
+    _, metrics = split_records(extract_records(pages))
+    m = metrics.groupBy().sum("docs", "blocks", "err_json", "triples").collect()[0]
+    n_docs = pages.count()
+    assert m["sum(docs)"] == n_docs
+    assert m["sum(err_json)"] > 0  # malformed blocks exist by construction
+    assert m["sum(triples)"] > m["sum(docs)"]
+    # every parse error corresponds to a kind-4 (truncated) block
+    golden_bad = sum(
+        1
+        for d in _docs_pdf("/root/testdata/sf0.001").itertuples()
+        for i in range(int(d.doc_id) % 4)
+        if (int(d.doc_id) + i) % 6 == 4
+    )
+    assert m["sum(err_json)"] == golden_bad
+
+
+def test_blank_labels_globally_unique_per_url(pages):
+    triples, _ = split_records(extract_records(pages))
+    blanks = (
+        triples.filter(F.col("subj").startswith("_:"))
+        .select("url", "subj")
+        .distinct()
+        .groupBy("subj")
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") > 1)
+        .count()
+    )
+    assert blanks == 0  # url-hash namespacing keeps blank labels disjoint
+
+
+def test_extraction_regex_tolerates_attribute_noise():
+    html = (
+        b'<SCRIPT type="application/ld+json">{"@id": "http://x.example/1"}</script>'
+        b'<script type=\'application/ld+json\'>{"a": 1}</script>'
+        b'<script type="text/javascript">ignored</script>'
+    )
+    blocks = extract_jsonld_blocks(html)
+    assert len(blocks) == 2
