@@ -51,6 +51,16 @@ def make_spark(cpus: int):
     )
 
 
+def warm_python_workers(spark, cpus: int) -> None:
+    """Spin up the Python worker pool + Arrow path before timing — real
+    clusters run long-lived executors; cold-start isn't the metric."""
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(cpus * 4).repartition(cpus * 2).mapInPandas(_ident, "id long").count()
+
+
 def _run(fn, spark, sf_dir):
     t0 = time.monotonic()
     df = fn(spark, sf_dir)
@@ -78,6 +88,7 @@ def main() -> None:
     queries = entrymod.queries()
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark, CPUS)
 
     per_query = {}
     for name in HEADLINE:
@@ -103,6 +114,7 @@ def main() -> None:
         for cpus in (8, CPUS):
             s = make_spark(cpus)
             s.sparkContext.setLogLevel("ERROR")
+            warm_python_workers(s, cpus)
             tps_c, _, _ = kg_throughput(s, SF_DIR)
             scaling[f"local[{cpus}]"] = round(tps_c, 1)
             s.stop()

@@ -62,19 +62,25 @@ def _band_hasher(band: int):
 def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """Per-document banded min-hash signature: band b's signature is
     min(md5('b<b>|' || shingle)) over word 2-shingles."""
+    from ..util import spread
+
     shingles = _shingles()
     cols = [
         F.array_min(F.transform(shingles, _band_hasher(b))).alias(f"sig{b}")
         for b in range(bands)
     ]
-    return docs.select("doc_id", *cols)
+    return spread(docs.select("doc_id", "text")).select("doc_id", *cols)
 
 
 def minhash_dup_pairs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ANY band signature.
     Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
-    no all-pairs comparison ever happens."""
-    sigs = minhash_signatures(docs, bands)
+    no all-pairs comparison ever happens.
+
+    Signatures are materialized once (localCheckpoint) so the self-join does
+    not recompute shingling+hashing on both sides — at warehouse scale this
+    is "write the signature table, then join it with itself"."""
+    sigs = minhash_signatures(docs, bands).localCheckpoint()
     exploded = sigs.select(
         "doc_id",
         F.explode(
@@ -124,7 +130,9 @@ def ngram_jaccard_pairs(
     """Exact word-2-shingle Jaccard over LSH candidate pairs only (the
     banded join bounds the candidate set; the exact similarity then filters
     false positives)."""
-    shingled = docs.select(
+    from ..util import spread
+
+    shingled = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.array_distinct(_shingles()).alias("sh")
     )
     pairs = minhash_dup_pairs(docs, bands)
@@ -149,8 +157,12 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicates among the first ``n_probe`` vectors
     (brute-force tier; the LSH-bucketed scale path lives in similarity.py)."""
-    e = embeddings.filter(F.col("vec_id") < n_probe).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    from ..util import spread
+
+    e = spread(
+        embeddings.filter(F.col("vec_id") < n_probe).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(

@@ -77,7 +77,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     do not survive this stage — nothing heavy is ever shuffled."""
     import pandas as pd
 
-    src = media.select("media_id", "kind", "payload")
+    from ..util import spread
+
+    src = spread(media.select("media_id", "kind", "payload"), "media_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -31,7 +31,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for the first ``n_queries``
     vectors. The tiny query side is broadcast; the corpus is scanned once."""
-    corpus = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    from ..util import spread
+
+    corpus = spread(embeddings.select("vec_id", _as_double("embedding").alias("v")))
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
@@ -75,10 +77,12 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Scale path: the join key is the bucket id, so per-query work is
     |bucket| ≈ |corpus| / 2^n_planes instead of |corpus|."""
+    from ..util import spread
+
     first = embeddings.select(F.size("embedding").alias("d")).first()
     dim = first["d"]
-    corpus = embeddings.select(
-        "vec_id", _as_double("embedding").alias("v")
+    corpus = spread(
+        embeddings.select("vec_id", _as_double("embedding").alias("v"))
     ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket"

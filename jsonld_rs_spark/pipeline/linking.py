@@ -41,9 +41,11 @@ def detect_mentions(pages_df, surface_forms: List[str] = None):
     """pages(url, text) → (url, surface_form, tf). Narrow stage, no shuffle."""
     import pandas as pd
 
+    from ..util import spread
+
     forms = surface_forms or sorted({r[0] for r in default_dictionary()})
     patterns = {f: re.compile(rf"\b{re.escape(f)}\b") for f in forms}
-    src = pages_df.select("url", "text")
+    src = spread(pages_df.select("url", "text"), "url")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

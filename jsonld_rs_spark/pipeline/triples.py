@@ -133,6 +133,10 @@ def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str
     spark = pages_df.sparkSession
     store_b = spark.sparkContext.broadcast(store or BUILTIN_CONTEXTS)
 
+    # Column pruning: only (url, html) reach the scan. Partitioning is
+    # inherited from the input (synthesize_pages spreads the scan to cluster
+    # parallelism; latest_pages preserves it via broadcast join) — probing
+    # getNumPartitions here would trigger AQE execution of the upstream plan.
     src = pages_df.select("url", "html")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
