@@ -12,6 +12,7 @@ throughput + scaling efficiency (BASELINE.md methodology).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -68,17 +69,24 @@ def _run(fn, spark, sf_dir):
     return time.monotonic() - t0, n
 
 
-def kg_throughput(spark, sf_dir):
-    """Triples/sec of the extraction heart (pages → canonical triple rows)."""
+def kg_throughput(spark, sf_dir, replicate: int = 1, trials: int = 3):
+    """Median triples/sec of the extraction heart (pages → canonical triple
+    rows). Input is materialized outside the timed window; ``replicate``
+    scales the page count so every core has meaningful work."""
     from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages
     from jsonld_rs_spark.pipeline.triples import extract_triples
 
-    pages = latest_pages(synthesize_pages(spark, sf_dir)).cache()
-    pages.count()  # materialize input outside the timed window
-    t0 = time.monotonic()
-    n_triples = extract_triples(pages).count()
-    dt = time.monotonic() - t0
+    pages = latest_pages(synthesize_pages(spark, sf_dir, replicate)).cache()
+    pages.count()
+    times = []
+    n_triples = 0
+    for _ in range(trials):
+        t0 = time.monotonic()
+        n_triples = extract_triples(pages).count()
+        times.append(time.monotonic() - t0)
     pages.unpersist()
+    times.sort()
+    dt = times[len(times) // 2]
     return n_triples / dt, n_triples, dt
 
 
@@ -109,20 +117,52 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        # Two-cluster-size evidence (north rule). This VM's 32 "CPUs" are
+        # ~16 physical cores + SMT: a pure-CPU sha256 baseline measures the
+        # hardware ceiling so Spark's efficiency is judged against what the
+        # box can actually deliver, and the N→4N pair with near-ideal
+        # hardware headroom (2→8) is reported alongside 8→32.
         spark.stop()
+        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
         scaling = {}
-        for cpus in (8, CPUS):
+        for cpus in (2, 8, CPUS):
             s = make_spark(cpus)
             s.sparkContext.setLogLevel("ERROR")
             warm_python_workers(s, cpus)
-            tps_c, _, _ = kg_throughput(s, SF_DIR)
+            tps_c, n_c, dt_c = kg_throughput(s, SF_DIR, replicate=replicate)
             scaling[f"local[{cpus}]"] = round(tps_c, 1)
             s.stop()
-        base, big = scaling[f"local[8]"], scaling[f"local[{CPUS}]"]
         result["scaling"] = scaling
-        result["scaling_efficiency"] = round((big / base) / (CPUS / 8), 3)
+        result["scaling_replicate"] = replicate
+        result["scaling_efficiency_2_8"] = round(
+            (scaling["local[8]"] / scaling["local[2]"]) / 4, 3
+        )
+        result["scaling_efficiency_8_32"] = round(
+            (scaling[f"local[{CPUS}]"] / scaling["local[8]"]) / (CPUS / 8), 3
+        )
+        result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
 
     print(json.dumps(result))
+
+
+def _sha_burn(n: int) -> None:
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+
+
+def _cpu_ceiling_8_to_32() -> float:
+    """Raw-CPU (sha256) 8→32-process scaling on this box — the upper bound
+    any 8→32 software efficiency can reach here."""
+    import multiprocessing as mp
+
+    rates = {}
+    for nproc in (8, 32):
+        t0 = time.monotonic()
+        with mp.Pool(nproc) as pool:
+            pool.map(_sha_burn, [300_000] * nproc)
+        rates[nproc] = nproc * 300_000 / (time.monotonic() - t0)
+    return round((rates[32] / rates[8]) / 4, 3)
 
 
 if __name__ == "__main__":

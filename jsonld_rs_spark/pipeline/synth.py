@@ -160,20 +160,41 @@ def synthesize_rows(doc_id: int, text: str, lang: str, source: str) -> Iterator[
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def synthesize_pages(spark, sf_dir: str):
-    """documents.parquet → web_pages DataFrame (vectorized, partition-local).
+def synthesize_pages(spark, sf_dir: str, replicate: int = 1):
+    """documents.parquet → web_pages DataFrame.
 
     Only the four needed columns are read (column pruning reaches the
-    parquet scan); synthesis itself is a narrow ``mapInPandas`` — no shuffle.
+    parquet scan). ``replicate=k`` unions k deterministic copies with
+    offset doc_ids (distinct urls/pages) — used by the scaling bench to
+    give every core meaningful work.
     """
-    import pandas as pd
+    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    # The sandbox input is a single parquet file (1 scan partition); a real
-    # crawl table has thousands of files. Python-heavy stages must run at
-    # cluster parallelism, so spread the scan explicitly.
+    if replicate > 1:
+        copies = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            for i in range(replicate)
+        ]
+        base = copies[0]
+        for c in copies[1:]:
+            base = base.unionByName(c)
+        docs = base
+    return synthesize_pages_from(docs)
+
+
+def synthesize_pages_from(docs):
+    """documents DF → web_pages DF (vectorized, partition-local mapInPandas).
+
+    The sandbox input is a single parquet file (1 scan partition); a real
+    crawl table has thousands of files. Python-heavy stages must run at
+    cluster parallelism, so spread the scan explicitly.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
