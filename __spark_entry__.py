@@ -226,6 +226,40 @@ def setops_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+        .orderBy("event_id")
+    )
+
+
+def cube_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over event_type × value bucket."""
+    # floor, not cast: DuckDB CAST(double AS INT) rounds, Spark truncates
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_bucket", F.floor(F.col("value") / 10).cast("int")
+    )
+    return (
+        e.cube("event_type", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("value_bucket").cast("string"), F.lit("ALL")).alias(
+                "value_bucket"
+            ),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "value_bucket")
+    )
+
+
 def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -323,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_order_totals": topk_order_totals,
         "rollup_orders_by_status_priority": rollup_orders_by_status_priority,
         "setops_mktsegments": setops_mktsegments,
+        "json_funcs_events": json_funcs_events,
+        "cube_events_by_type": cube_events_by_type,
         "string_funcs_docs": string_funcs_docs,
         # training-data ops
         "exact_dedup_docs": exact_dedup_docs,
@@ -431,6 +467,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             )
             ORDER BY c_custkey
+        """,
+        "json_funcs_events": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            ORDER BY event_id
+        """,
+        "cube_events_by_type": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(value_bucket AS VARCHAR), 'ALL') AS value_bucket,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT *, CAST(floor(value / 10) AS INT) AS value_bucket FROM events)
+            GROUP BY CUBE (event_type, value_bucket)
+            ORDER BY event_type, value_bucket
         """,
         "string_funcs_docs": """
             SELECT doc_id,

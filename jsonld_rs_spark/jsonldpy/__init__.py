@@ -25,6 +25,8 @@ from .rdf import (
     literal_to_json,
     rdf_to_jsonld,
 )
+from .compact import compact_core, compact_document
+from .flatten import flatten
 from .urdna2015 import canonical_labels, canonical_nquads, canonicalize_dataset, nquad_line
 
 __all__ = [
@@ -46,6 +48,9 @@ __all__ = [
     "jsonld_to_rdf",
     "literal_to_json",
     "rdf_to_jsonld",
+    "compact_core",
+    "compact_document",
+    "flatten",
     "canonical_labels",
     "canonical_nquads",
     "canonicalize_dataset",

@@ -1,0 +1,65 @@
+"""Manifest-driven compact conformance tests (format of the reference
+harness, /root/reference/src/bin/test_compact.rs:61-115, honoring the
+``compactArrays`` option) plus an expand∘compact round-trip property over
+the pipeline's synthesized JSON-LD blocks."""
+
+import json
+import os
+
+import pytest
+
+from jsonld_rs_spark.jsonldpy import expand
+from jsonld_rs_spark.jsonldpy.compact import compact_document
+from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS, make_loader
+from jsonld_rs_spark.pipeline.synth import blocks_for_doc
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "compact")
+
+with open(os.path.join(HERE, "manifest.jsonld")) as f:
+    MANIFEST = json.load(f)
+
+CASES = [
+    t
+    for t in MANIFEST["sequence"]
+    if "jld:PositiveEvaluationTest" in t["@type"]
+    and t.get("option", {}).get("specVersion") != "json-ld-1.1"
+]
+
+
+def _read(name):
+    with open(os.path.join(HERE, name)) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: c["@id"])
+def test_compact_positive(case):
+    doc = _read(case["input"])
+    context = _read(case["context"])
+    option = case.get("option", {})
+    actual = compact_document(
+        doc,
+        context,
+        base=option.get("base", MANIFEST["baseIri"] + case["input"]),
+        compact_arrays=option.get("compactArrays", True),
+    )
+    assert actual == _read(case["expect"]), case["name"]
+
+
+def test_expand_compact_roundtrip_on_pipeline_blocks():
+    """expand(compact(expand(doc))) == expand(doc) for every well-formed
+    synthesized block — compaction must be lossless under re-expansion."""
+    loader = make_loader(BUILTIN_CONTEXTS)
+    target_context = {"@context": "https://ctx.example/v1"}
+    n_checked = 0
+    for doc_id in range(0, 120):
+        for body, malformed in blocks_for_doc(doc_id, "the fast data spark merge join key row", "de"):
+            if malformed:
+                continue
+            doc = json.loads(body)
+            base = f"https://src{doc_id % 20}.example/{doc_id}"
+            expanded = expand(doc, base=base, loader=loader)
+            compacted = compact_document(doc, target_context, base=base, loader=loader)
+            reexpanded = expand(compacted, base=base, loader=loader)
+            assert reexpanded == expanded, f"doc {doc_id}: {json.dumps(compacted)[:200]}"
+            n_checked += 1
+    assert n_checked > 100
