@@ -1,0 +1,98 @@
+"""Streaming ingestion: crawl rows arriving as files → canonical triples.
+
+The reference is strictly batch (one document at a time in memory,
+SURVEY.md §1.3); the north rule's 10^12-doc table is batch too. This module
+adds the streaming-shaped front door a production crawl actually has:
+pages land continuously, the engine ingests incrementally with exactly-once
+file-source semantics, and late/duplicate crawls are handled by watermarked
+dedup.
+
+Design choices for scale:
+* ``foreachBatch`` drives the SAME batch extraction stage (triples.py) —
+  one code path to test, and each micro-batch inherits the batch stage's
+  partition/broadcast behavior;
+* dedup state is bounded by a watermark on ``warc_ts`` (without it, a
+  10^12-row stream accumulates unbounded state);
+* checkpointLocation gives exactly-once over file sources; restart-safe.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.triples import extract_records
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of crawl rows (parquet files dropped into a dir)."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def dedup_late_crawls(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate (url, warc_ts) arrivals; watermark bounds the state."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
+    )
+
+
+def start_streaming_extraction(
+    pages_stream: DataFrame,
+    out_dir: str,
+    store: Optional[Dict[str, Any]] = None,
+    trigger_available_now: bool = True,
+    dedup_watermark: Optional[str] = None,
+):
+    """pages stream → records table (triples + metrics rows, append-only).
+
+    Each micro-batch runs the batch extraction stage; the records parquet is
+    split downstream exactly like the batch path (materialize.py).
+
+    ``dedup_watermark`` opts into stateful (url, warc_ts) dedup — use it only
+    when re-crawls actually arrive within the watermark horizon: rows older
+    than the watermark are *dropped as late*, which is the deal you make for
+    bounded state. Exactly-once over the file source itself already comes
+    from the checkpoint, with no state at all.
+    """
+    records_path = os.path.join(out_dir, "records")
+    checkpoint = os.path.join(out_dir, "_stream_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        records = extract_records(batch_df, store=store, stage=f"stream_b{batch_id}")
+        records.write.mode("append").parquet(records_path)
+
+    src = pages_stream
+    if dedup_watermark is not None:
+        src = dedup_late_crawls(src, dedup_watermark)
+    writer = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_page_counts(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed aggregation: pages per (lang, 1h crawl window).
+    Late rows beyond the watermark are dropped from the aggregation state."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_pages",
+        )
+    )

@@ -1,0 +1,83 @@
+"""Property-based URDNA2015 tests: canonical labels must be invariant under
+any permutation of input blank-node labels and any quad order — the exact
+property the distributed pipeline relies on for cross-partition stability."""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonld_rs_spark.jsonldpy import Quad, canonical_nquads
+from jsonld_rs_spark.jsonldpy.rdf import XSD_STRING
+
+
+def _random_dataset(rng: random.Random, n_nodes: int, n_edges: int, n_literals: int):
+    nodes = []
+    for i in range(n_nodes):
+        # mix of blanks and IRIs
+        if rng.random() < 0.6:
+            nodes.append(f"_:n{i}")
+        else:
+            nodes.append(f"http://x.example/n{i}")
+    preds = [f"http://p.example/p{i}" for i in range(3)]
+    quads = []
+    for _ in range(n_edges):
+        s = rng.choice(nodes)
+        o = rng.choice(nodes)
+        if s.startswith("_:") or True:
+            quads.append(Quad(s, rng.choice(preds), "id", o))
+    for _ in range(n_literals):
+        s = rng.choice(nodes)
+        quads.append(
+            Quad(s, rng.choice(preds), "literal", f"v{rng.randint(0, 4)}", XSD_STRING)
+        )
+    return quads
+
+
+def _relabel(quads, mapping):
+    def m(t):
+        return mapping.get(t, t)
+
+    return [
+        Quad(
+            m(q.subj),
+            q.pred,
+            q.obj_kind,
+            m(q.obj_value) if q.obj_kind == "id" else q.obj_value,
+            q.obj_datatype,
+            q.obj_lang,
+        )
+        for q in quads
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_canonicalization_invariant_under_relabeling_and_order(seed):
+    rng = random.Random(seed)
+    quads = _random_dataset(rng, n_nodes=rng.randint(2, 8), n_edges=rng.randint(1, 14), n_literals=rng.randint(0, 4))
+
+    blanks = sorted({t for q in quads for t in (q.subj, q.obj_value if q.obj_kind == "id" else None) if t and t.startswith("_:")})
+    permuted = list(blanks)
+    rng.shuffle(permuted)
+    mapping = {b: f"_:renamed{i}_{p[2:]}" for i, (b, p) in enumerate(zip(blanks, permuted))}
+
+    shuffled = _relabel(quads, mapping)
+    rng.shuffle(shuffled)
+
+    a = canonical_nquads({"@default": quads})
+    b = canonical_nquads({"@default": shuffled})
+    assert a == b
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_canonicalization_distinguishes_non_isomorphic(seed):
+    rng = random.Random(seed)
+    quads = _random_dataset(rng, 5, 8, 2)
+    a = canonical_nquads({"@default": quads})
+    # add one extra statement → different dataset → different canonical form
+    extra = Quad("_:zzz", "http://p.example/extra", "literal", "unique-extra", XSD_STRING)
+    b = canonical_nquads({"@default": quads + [extra]})
+    assert a != b
+    assert "unique-extra" in b and "unique-extra" not in a
