@@ -25,6 +25,68 @@ from .context import Context, ContextLoader, no_remote_contexts
 
 MAX_DEPTH = 200
 
+_CACHE_PROBE_BASE = "urn:jsonldpy:cache-probe:"
+
+
+def _cache_key(ctxval: Any) -> Optional[str]:
+    """Serialized cache key for a document-level @context value, or None if
+    the value shape cannot be cached (inline @base, or a null reset whose
+    semantics depend on the pre-existing base IRI)."""
+    import json
+
+    def safe(v: Any) -> bool:
+        if v is None:
+            return False
+        if isinstance(v, str):
+            return True
+        if isinstance(v, list):
+            return all(safe(x) for x in v)
+        if isinstance(v, dict):
+            return "@base" not in v
+        return False
+
+    if not safe(ctxval):
+        return None
+    try:
+        return json.dumps(ctxval, sort_keys=True)
+    except (TypeError, ValueError):
+        return None
+
+
+def _context_via_cache(
+    active_context: Context, ctxval: Any, loader: ContextLoader, cache: dict
+) -> Optional[Context]:
+    """Resolve a document-level @context through the per-worker cache.
+
+    Valid only when the active context is 'fresh' (base IRI only): the
+    processed template is then independent of the document, except for a
+    possible null-reset hidden inside a remote context — detected with a
+    probe base and marked uncacheable. Saves re-running create_term for the
+    handful of contexts shared by millions of pages.
+    """
+    if (
+        active_context.terms
+        or active_context.vocabulary_mapping is not None
+        or active_context.language is not None
+    ):
+        return None
+    key = _cache_key(ctxval)
+    if key is None:
+        return None
+    template = cache.get(key)
+    if template is None:
+        template = Context(base_iri=_CACHE_PROBE_BASE)
+        template.process_context(ctxval, {}, loader)
+        if template.base_iri != _CACHE_PROBE_BASE:
+            cache[key] = False  # hidden reset → never cache this value
+            return None
+        cache[key] = template
+    elif template is False:
+        return None
+    ctx = template.copy()
+    ctx.base_iri = active_context.base_iri
+    return ctx
+
 
 def _expand_value(ctx: Context, active_property: str, elem: Any) -> Any:
     """Scalar expansion under a term (expand.rs:106-146)."""
@@ -69,6 +131,7 @@ def _expand(
     elem: Any,
     loader: ContextLoader,
     depth: int = 0,
+    context_cache: Optional[dict] = None,
 ) -> Any:
     if depth > MAX_DEPTH:
         raise E.ExpansionError("max_depth_exceeded", f"depth>{MAX_DEPTH}")
@@ -79,7 +142,7 @@ def _expand(
     if isinstance(elem, list):
         res: List[Any] = []
         for item in elem:
-            expanded_item = _expand(active_context, active_property, item, loader, depth + 1)
+            expanded_item = _expand(active_context, active_property, item, loader, depth + 1, context_cache)
             if isinstance(expanded_item, list) or _is_list_object(expanded_item):
                 if active_property is not None:
                     if active_property == "@list":
@@ -95,9 +158,17 @@ def _expand(
 
     if isinstance(elem, dict):
         if "@context" in elem:
-            ctx = active_context.copy()
-            ctx.process_context(elem["@context"], {}, loader)
-            active_context = ctx
+            cached = (
+                _context_via_cache(active_context, elem["@context"], loader, context_cache)
+                if context_cache is not None
+                else None
+            )
+            if cached is not None:
+                active_context = cached
+            else:
+                ctx = active_context.copy()
+                ctx.process_context(elem["@context"], {}, loader)
+                active_context = ctx
 
         result: Dict[str, Any] = {}
 
@@ -133,7 +204,7 @@ def _expand(
                     else:
                         raise E.ExpansionError(E.INVALID_TYPE_VALUE, key)
                 elif prop == "@graph":
-                    expanded_value = _expand(active_context, "@graph", value, loader, depth + 1)
+                    expanded_value = _expand(active_context, "@graph", value, loader, depth + 1, context_cache)
                 elif prop == "@value":
                     if isinstance(value, (dict, list)):
                         raise E.ExpansionError(E.INVALID_VALUE_OBJECT_VALUE, key)
@@ -149,7 +220,7 @@ def _expand(
                 elif prop == "@list":
                     if active_property is None or active_property == "@graph":
                         continue  # dropped at root (expand.rs:300-302)
-                    tex = _expand(active_context, active_property, value, loader, depth + 1)
+                    tex = _expand(active_context, active_property, value, loader, depth + 1, context_cache)
                     if _is_list_object(tex):
                         raise E.ExpansionError(E.LIST_OF_LISTS)
                     expanded_value = tex if isinstance(tex, list) else [tex]
@@ -160,7 +231,7 @@ def _expand(
                 elif prop == "@reverse":
                     if not isinstance(value, dict):
                         raise E.ExpansionError(E.INVALID_REVERSE_VALUE, key)
-                    rev = _expand(active_context, "@reverse", value, loader, depth + 1)
+                    rev = _expand(active_context, "@reverse", value, loader, depth + 1, context_cache)
                     if not isinstance(rev, dict):
                         rev = {}
                     inner_reverse = rev.pop("@reverse", None)
@@ -220,14 +291,14 @@ def _expand(
                     index_value = value[index]
                     if not isinstance(index_value, list):
                         index_value = [index_value]
-                    expanded_index = _expand(active_context, key, index_value, loader, depth + 1)
+                    expanded_index = _expand(active_context, key, index_value, loader, depth + 1, context_cache)
                     for item in expanded_index:
                         if "@index" not in item:
                             item["@index"] = index
                         idx_items.append(item)
                 expanded_value = idx_items
             else:
-                expanded_value = _expand(active_context, key, value, loader, depth + 1)
+                expanded_value = _expand(active_context, key, value, loader, depth + 1, context_cache)
 
             if expanded_value is None:
                 continue
@@ -301,9 +372,18 @@ def _expand(
     return _expand_value(active_context, active_property, elem)
 
 
-def expand_core(ctx: Context, elem: Any, loader: ContextLoader = no_remote_contexts) -> List[Any]:
-    """Core expand + post-processing (expand.rs:652-675)."""
-    val = _expand(ctx, None, elem, loader)
+def expand_core(
+    ctx: Context,
+    elem: Any,
+    loader: ContextLoader = no_remote_contexts,
+    context_cache: Optional[dict] = None,
+) -> List[Any]:
+    """Core expand + post-processing (expand.rs:652-675).
+
+    ``context_cache`` (optional, per-worker dict) memoizes processing of
+    document-level ``@context`` values shared across documents.
+    """
+    val = _expand(ctx, None, elem, loader, 0, context_cache)
     if isinstance(val, dict) and len(val) == 1 and "@graph" in val:
         val = val["@graph"]
     if val is None:

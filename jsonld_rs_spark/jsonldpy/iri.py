@@ -42,8 +42,13 @@ def _ensure_scheme_registered(scheme: str) -> None:
         uses_netloc.append(scheme)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
 def resolve(base: str, reference: str) -> str:
-    """RFC 3986 resolution of ``reference`` against absolute ``base``."""
+    """RFC 3986 resolution of ``reference`` against absolute ``base``.
+    Memoized: a corpus re-resolves the same (base, ref) pairs constantly."""
     if has_scheme(reference):
         return reference
     scheme = base.split(":", 1)[0].lower()

@@ -29,18 +29,31 @@ class Pointer:
     __slots__ = ()
 
 
-@dataclass(frozen=True)
 class PId(Pointer):
-    id: str
+    __slots__ = ("id",)
+
+    def __init__(self, id: str) -> None:
+        self.id = id
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, PId) and other.id == self.id
+
+    def __hash__(self) -> int:
+        return hash(("PId", self.id))
+
+    def __repr__(self) -> str:
+        return f"PId({self.id!r})"
 
 
-@dataclass(frozen=True)
 class PValue(Pointer):
     # `value` is a JSON scalar (str/bool/int/float); type_id and language are
     # mutually exclusive (reference nodemap.rs:99-113).
-    value: Any
-    type_id: Optional[str] = None
-    language: Optional[str] = None
+    __slots__ = ("value", "type_id", "language")
+
+    def __init__(self, value: Any, type_id: Optional[str] = None, language: Optional[str] = None) -> None:
+        self.value = value
+        self.type_id = type_id
+        self.language = language
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, PValue):
@@ -56,6 +69,9 @@ class PValue(Pointer):
 
     def __hash__(self) -> int:
         return hash((type(self.value).__name__, self.value, self.type_id, self.language))
+
+    def __repr__(self) -> str:
+        return f"PValue({self.value!r}, {self.type_id!r}, {self.language!r})"
 
 
 @dataclass

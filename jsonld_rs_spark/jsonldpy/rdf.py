@@ -19,8 +19,7 @@ from __future__ import annotations
 
 import json
 import math
-from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 from .nodemap import (
     BlankNodeGenerator,
@@ -64,10 +63,12 @@ def format_double(value: float) -> str:
     return s
 
 
-@dataclass(frozen=True)
-class Quad:
+class Quad(NamedTuple):
     """One RDF statement. ``obj_kind`` is 'id' for IRIs/blank nodes and
-    'literal' otherwise (reference StringQuad/QuadContents, rdf.rs:15-30)."""
+    'literal' otherwise (reference StringQuad/QuadContents, rdf.rs:15-30).
+    NamedTuple, not dataclass: quads are constructed per emitted triple on
+    the hot path, and frozen-dataclass __init__ costs ~6 object.__setattr__
+    calls each."""
 
     subj: str
     pred: str

@@ -213,6 +213,14 @@ class _Canonicalizer:
 
     # -- 4.4 main ------------------------------------------------------ #
     def run(self) -> Dict[str, str]:
+        # Fast paths: most web documents have 0 or 1 blank node, where
+        # canonical labeling is trivial — skip all hashing.
+        if not self.bnode_quads:
+            return {}
+        if len(self.bnode_quads) == 1:
+            (only,) = self.bnode_quads
+            return {only: self.canonical.issue(only)}
+
         hash_to_bnodes: Dict[str, List[str]] = {}
         for bnode in self.bnode_quads:
             hash_to_bnodes.setdefault(self.hash_first_degree(bnode), []).append(bnode)

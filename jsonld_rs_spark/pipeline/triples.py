@@ -73,8 +73,12 @@ def doc_to_quad_rows(
     html: bytes,
     store: Dict[str, Any],
     counters: Optional[Dict[str, int]] = None,
+    context_cache: Optional[Dict[str, Any]] = None,
 ) -> List[tuple]:
-    """Pure per-document algorithm; returns triple rows for one page."""
+    """Pure per-document algorithm; returns triple rows for one page.
+
+    ``context_cache`` memoizes processed @context values across documents
+    within a worker (millions of pages share a handful of contexts)."""
     loader = make_loader(store)
     rows: List[tuple] = []
     blocks = extract_jsonld_blocks(html)
@@ -91,7 +95,7 @@ def doc_to_quad_rows(
             continue
         try:
             ctx = Context(base_iri=iri_mod.parse_base(url))
-            expanded = expand_core(ctx, doc, loader)
+            expanded = expand_core(ctx, doc, loader, context_cache)
             dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
             dataset = canonicalize_dataset(dataset)
         except E.CanonicalizationError:
@@ -144,6 +148,7 @@ def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         local_store = store_b.value
+        context_cache: Dict[str, Any] = {}
         for pdf in batches:
             t0 = time.monotonic()
             counters = {
@@ -156,7 +161,9 @@ def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str
             }
             out: List[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for row in doc_to_quad_rows(url, bytes(html), local_store, counters):
+                for row in doc_to_quad_rows(
+                    url, bytes(html), local_store, counters, context_cache
+                ):
                     out.append(("t",) + row + (None,))
             counters["wall_ms"] = int((time.monotonic() - t0) * 1000)
             counters["partition_id"] = pid
