@@ -99,6 +99,34 @@ def kg_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fromRDF assembly: triples → JSON-LD per url (grouped applyInPandas)."""
+    from jsonld_rs_spark.pipeline.assemble import assemble_documents
+    from jsonld_rs_spark.pipeline.triples import dedup_triples  # noqa: F401
+
+    return assemble_documents(_kg_triples(spark, sf_dir)).orderBy("url")
+
+
+def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: triples with subject/object ids rewritten to their
+    sameAs connected-component representative."""
+    from jsonld_rs_spark.pipeline.components import (
+        canonicalize_subjects,
+        connected_components,
+    )
+    from jsonld_rs_spark.pipeline.linking import sameas_edges
+
+    triples = _kg_triples(spark, sf_dir)
+    comps = connected_components(sameas_edges(triples))
+    return (
+        canonicalize_subjects(triples, comps)
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy(F.desc("n_triples"), F.asc("subj"))
+        .limit(100)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_pred_counts(spark, SF0001)
@@ -348,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": kg_components,
         "kg_entity_links": kg_entity_links,
         "kg_extraction_metrics": kg_extraction_metrics,
+        "kg_assembled_docs": kg_assembled_docs,
+        "kg_canonical_triples": kg_canonical_triples,
         # relational operators
         "agg_pricing_summary": agg_pricing_summary,
         "join_revenue_by_nation": join_revenue_by_nation,

@@ -1,0 +1,59 @@
+"""fromRDF assembly: triple table → JSON-LD documents, per provenance url.
+
+The inverse of the extraction heart (reference rdf_to_jsonld,
+/root/reference/src/rdf.rs:277-515): grouped ``applyInPandas`` rebuilds the
+per-document RDF dataset from triple rows and serializes it back to JSON-LD
+node objects (native types, list reconstruction).
+
+Scale shape: the shuffle key is ``url`` (provenance), so each group is one
+small document graph — group size is bounded by page size, never by corpus
+size. This is the pattern for any per-entity re-serialization at 10^12
+rows: shuffle on the bounded key, run the tree algorithm in Python on the
+bounded group.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+
+from ..jsonldpy.rdf import Quad, rdf_to_jsonld
+
+ASSEMBLED_SCHEMA = "url string, n_nodes int, jsonld string"
+
+
+def _rows_to_dataset(pdf) -> Dict[str, List[Quad]]:
+    dataset: Dict[str, List[Quad]] = {}
+    for graph, subj, pred, obj_kind, obj_value, obj_datatype, obj_lang in zip(
+        pdf["graph"], pdf["subj"], pdf["pred"], pdf["obj_kind"],
+        pdf["obj_value"], pdf["obj_datatype"], pdf["obj_lang"],
+    ):
+        dataset.setdefault(graph, []).append(
+            Quad(
+                subj,
+                pred,
+                obj_kind,
+                obj_value,
+                None if obj_datatype is None else str(obj_datatype),
+                None if obj_lang is None else str(obj_lang),
+            )
+        )
+    return dataset
+
+
+def assemble_documents(triples_df: DataFrame, use_native_types: bool = True) -> DataFrame:
+    """triples → one JSON-LD document per url (sorted keys, deterministic)."""
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        url = pdf["url"].iloc[0]
+        dataset = _rows_to_dataset(pdf)
+        doc = rdf_to_jsonld(dataset, use_native_types=use_native_types)
+        return pd.DataFrame(
+            [(url, len(doc), json.dumps(doc, sort_keys=True))],
+            columns=["url", "n_nodes", "jsonld"],
+        )
+
+    return triples_df.groupBy("url").applyInPandas(build, schema=ASSEMBLED_SCHEMA)

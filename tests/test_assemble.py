@@ -1,0 +1,56 @@
+"""fromRDF assembly tests: Spark grouped assembly equals the pure-Python
+rdf_to_jsonld on the same per-url datasets."""
+
+import json
+
+import pytest
+
+from jsonld_rs_spark.jsonldpy.rdf import Quad, rdf_to_jsonld
+from jsonld_rs_spark.pipeline.assemble import assemble_documents
+from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages
+from jsonld_rs_spark.pipeline.triples import extract_records, split_records
+
+
+@pytest.fixture(scope="module")
+def triples(spark, sf_dir):
+    pages = latest_pages(synthesize_pages(spark, sf_dir))
+    t, _ = split_records(extract_records(pages))
+    return t.cache()
+
+
+def test_assembly_matches_pure_python(spark, triples):
+    assembled = {r["url"]: r for r in assemble_documents(triples).collect()}
+    rows = triples.collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], {}).setdefault(r["graph"], []).append(
+            Quad(r["subj"], r["pred"], r["obj_kind"], r["obj_value"],
+                 r["obj_datatype"], r["obj_lang"])
+        )
+    checked = 0
+    for url, dataset in list(by_url.items())[:50]:
+        want = rdf_to_jsonld(dataset, use_native_types=True)
+        got = json.loads(assembled[url]["jsonld"])
+        assert got == json.loads(json.dumps(want, sort_keys=True)), url
+        assert assembled[url]["n_nodes"] == len(want)
+        checked += 1
+    assert checked == 50
+    # every url with triples got assembled
+    assert set(assembled) == set(by_url)
+
+
+def test_assembly_restores_native_types(spark, triples):
+    sample = assemble_documents(triples).limit(200).collect()
+    saw_int = saw_list = False
+    for r in sample:
+        doc = json.loads(r["jsonld"])
+        for node in doc.values():
+            for key, vals in node.items():
+                if key.startswith("@"):
+                    continue
+                for v in vals:
+                    if isinstance(v, dict) and isinstance(v.get("@value"), int):
+                        saw_int = True
+                    if isinstance(v, dict) and "@list" in v:
+                        saw_list = True
+    assert saw_int and saw_list
