@@ -217,7 +217,15 @@ def literal_to_json(quad: Quad, use_native_types: bool) -> Dict[str, Any]:
 def rdf_to_jsonld(
     graphs: Dataset, use_native_types: bool = False, use_rdf_type: bool = False
 ) -> Dict[str, Any]:
-    """fromRDF: RDF dataset → JSON-LD node objects (rdf.rs:277-515)."""
+    """fromRDF: RDF dataset → JSON-LD node objects (rdf.rs:277-515).
+
+    Deliberate deviation: the reference's list-reconstruction node-size
+    checks (rdf.rs:389-404) don't account for the ``@id`` member its own
+    node map inserts, so list chains never reconstruct there (rdf.rs is
+    untested in-repo, SURVEY.md §5). This implementation follows the
+    JSON-LD 1.0 fromRDF algorithm: a list node is {@id, rdf:first,
+    rdf:rest} (len 3) or the same plus @type=[rdf:List] (len 4).
+    """
     graph_map: Dict[str, Dict[str, Any]] = {}
     usages: Dict[str, Dict[str, List[Tuple[str, str, str]]]] = {}
 
