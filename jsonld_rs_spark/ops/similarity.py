@@ -48,27 +48,36 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int):
-    """Deterministic pseudo-random hyperplane: component d of plane p is
-    ±1 by the parity of a hex char of md5(f'{p}:{d}') — no RNG, identical
-    on every executor."""
-    comps = [
-        F.when(
-            F.ascii(F.substring(F.md5(F.lit(f"hp{plane}:{d}")), 1, 1)) % 2 == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-        for d in range(dim)
-    ]
-    return F.array(*comps)
+def hyperplanes(dim: int, n_planes: int = N_PLANES):
+    """Deterministic ±1 hyperplanes, identical on every executor (seeded
+    numpy, no per-process RNG state)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0x5EED)
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
-def lsh_bucket(v, dim: int, n_planes: int = N_PLANES):
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        sign = _dot(v, _hyperplane(dim, p)) > 0
-        bucket = bucket + F.when(sign, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def with_lsh_bucket(df, vec_col: str, dim: int, n_planes: int = N_PLANES):
+    """Add a sign-random-projection bucket column via one Arrow-batched
+    pandas pass (an expression-tree formulation of dim×planes sign dots
+    explodes codegen; numpy does the projection as one matmul)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    planes = hyperplanes(dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def project(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())  # (rows, dim)
+            signs = (m @ planes.T) > 0  # (rows, n_planes)
+            pdf = pdf.copy()
+            pdf["bucket"] = (signs @ weights).astype("int64")
+            yield pdf
+
+    # fresh StructType: StructType.add would MUTATE the df's cached schema
+    schema = StructType(list(df.schema.fields) + [StructField("bucket", LongType())])
+    return df.mapInPandas(project, schema=schema)
 
 
 def lsh_topk(
@@ -81,9 +90,13 @@ def lsh_topk(
 
     first = embeddings.select(F.size("embedding").alias("d")).first()
     dim = first["d"]
-    corpus = spread(
-        embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+    # materialize once: both the query side and the candidate side read it
+    corpus = with_lsh_bucket(
+        spread(embeddings.select("vec_id", _as_double("embedding").alias("v"))),
+        "v",
+        dim,
+        n_planes,
+    ).localCheckpoint()
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket"
     )
