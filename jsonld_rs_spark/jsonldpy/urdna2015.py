@@ -64,7 +64,9 @@ def nquad_line(graph: str, quad: Quad, bnode_map: Optional[Dict[str, str]] = Non
     """Canonical N-Quads serialization of one statement."""
     parts = [
         _term_str(quad.subj, bnode_map),
-        f"<{quad.pred}>",
+        # blank predicates (generalized RDF, reference nodemap.rs:571-601)
+        # serialize bare, not angle-bracketed
+        _term_str(quad.pred, bnode_map),
         _object_str(quad, bnode_map),
     ]
     if graph != "@default":

@@ -114,7 +114,7 @@ def doc_to_quad_rows(
                         url,
                         g,
                         _namespace(q.subj, ns),
-                        q.pred,
+                        _namespace(q.pred, ns),  # blank predicates: generalized RDF
                         q.obj_kind,
                         _namespace(q.obj_value, ns) if q.obj_kind == "id" else q.obj_value,
                         q.obj_datatype,
