@@ -84,7 +84,11 @@ def _block_for(doc_id: int, kind: int, words: List[str], lang: str) -> Tuple[str
         }
     elif kind == 3:
         ent = w[0] if w[0] in ENTITY_WORDS else ENTITY_WORDS[doc_id % len(ENTITY_WORDS)]
-        nxt = ENTITY_WORDS[(doc_id + 1) % len(ENTITY_WORDS)]
+        # cross-entity sameAs links stay within the word's half of the
+        # dictionary → the co-reference graph has 2 disjoint components
+        idx = ENTITY_WORDS.index(ent)
+        half = 5 * (idx >= 5)
+        nxt = ENTITY_WORDS[(idx + 1) % 5 + half]
         doc = {
             "@context": "https://ctx.example/v1",
             "id": _entity_iri(ent),

@@ -74,11 +74,15 @@ def doc_to_quad_rows(
     store: Dict[str, Any],
     counters: Optional[Dict[str, int]] = None,
     context_cache: Optional[Dict[str, Any]] = None,
+    quarantine: Optional[List[tuple]] = None,
 ) -> List[tuple]:
     """Pure per-document algorithm; returns triple rows for one page.
 
     ``context_cache`` memoizes processed @context values across documents
-    within a worker (millions of pages share a handful of contexts)."""
+    within a worker (millions of pages share a handful of contexts).
+    ``quarantine`` (optional list) collects (url, block_index, error_code)
+    for every failed block so bad inputs are replayable, not just counted.
+    """
     loader = make_loader(store)
     rows: List[tuple] = []
     blocks = extract_jsonld_blocks(html)
@@ -86,25 +90,31 @@ def doc_to_quad_rows(
         counters["docs"] += 1
         counters["blocks"] += len(blocks)
     ns = url_ns(url)
-    for block in blocks:
+    for block_index, block in enumerate(blocks):
         try:
             doc = json.loads(block)
         except ValueError:
             if counters is not None:
                 counters["err_json"] += 1
+            if quarantine is not None:
+                quarantine.append((url, block_index, E.JSON_PARSE_ERROR))
             continue
         try:
             ctx = Context(base_iri=iri_mod.parse_base(url))
             expanded = expand_core(ctx, doc, loader, context_cache)
             dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
             dataset = canonicalize_dataset(dataset)
-        except E.CanonicalizationError:
+        except E.CanonicalizationError as exc:
             if counters is not None:
                 counters["err_canon"] += 1
+            if quarantine is not None:
+                quarantine.append((url, block_index, exc.code))
             continue
-        except E.JsonLdError:
+        except E.JsonLdError as exc:
             if counters is not None:
                 counters["err_jsonld"] += 1
+            if quarantine is not None:
+                quarantine.append((url, block_index, exc.code))
             continue
         for graph, quads in dataset.items():
             g = _namespace(graph, ns)
@@ -160,11 +170,27 @@ def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str
                 "err_canon": 0,
             }
             out: List[tuple] = []
+            quarantine: List[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 for row in doc_to_quad_rows(
-                    url, bytes(html), local_store, counters, context_cache
+                    url, bytes(html), local_store, counters, context_cache, quarantine
                 ):
                     out.append(("t",) + row + (None,))
+            for q_url, block_index, code in quarantine:
+                out.append(
+                    (
+                        "q",
+                        q_url,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        json.dumps({"block_index": block_index, "error": code}),
+                    )
+                )
             counters["wall_ms"] = int((time.monotonic() - t0) * 1000)
             counters["partition_id"] = pid
             counters["stage"] = stage
@@ -192,6 +218,21 @@ def split_records(records_df):
         .select("m.*")
     )
     return triples, metrics
+
+
+def quarantined(records_df):
+    """records → (url, block_index, error) rows for failed blocks — the
+    replayable poison-document table."""
+    from pyspark.sql import functions as F
+
+    return (
+        records_df.filter(F.col("rec_kind") == "q")
+        .select(
+            "url",
+            F.from_json("metrics", "block_index int, error string").alias("q"),
+        )
+        .select("url", "q.block_index", "q.error")
+    )
 
 
 def extract_triples(pages_df, store: Optional[Dict[str, Any]] = None):

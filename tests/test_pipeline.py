@@ -102,3 +102,23 @@ def test_extraction_regex_tolerates_attribute_noise():
     )
     blocks = extract_jsonld_blocks(html)
     assert len(blocks) == 2
+
+
+def test_quarantine_rows_replayable(pages):
+    from jsonld_rs_spark.pipeline.triples import quarantined
+
+    records = extract_records(pages)
+    q = quarantined(records).collect()
+    assert len(q) > 0
+    assert all(r["error"] == "json_parse_error" for r in q)
+    # every quarantined (url, block_index) points at an actually-bad block
+    import json as _json
+
+    for r in q[:10]:
+        page = pages.filter(F.col("url") == r["url"]).collect()[0]
+        blocks = extract_jsonld_blocks(bytes(page["html"]))
+        try:
+            _json.loads(blocks[r["block_index"]])
+            raise AssertionError(f"block {r} parsed fine")
+        except ValueError:
+            pass
