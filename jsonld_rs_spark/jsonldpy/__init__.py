@@ -5,7 +5,7 @@ for use inside vectorized Spark UDFs; see SURVEY.md §2.1 for the full
 function-level parity map.
 """
 
-from . import errors
+from . import api, errors
 from .context import Context, Term
 from .expand import expand, expand_core
 from .nodemap import (
@@ -30,6 +30,7 @@ from .flatten import flatten
 from .urdna2015 import canonical_labels, canonical_nquads, canonicalize_dataset, nquad_line
 
 __all__ = [
+    "api",
     "errors",
     "Context",
     "Term",
