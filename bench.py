@@ -123,15 +123,13 @@ def main() -> None:
         # box can actually deliver, and the N→4N pair with near-ideal
         # hardware headroom (2→8) is reported alongside 8→32.
         spark.stop()
-        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
         scaling = {}
         for cpus in (2, 8, CPUS):
-            s = make_spark(cpus)
-            s.sparkContext.setLogLevel("ERROR")
-            warm_python_workers(s, cpus)
-            tps_c, n_c, dt_c = kg_throughput(s, SF_DIR, replicate=replicate)
-            scaling[f"local[{cpus}]"] = round(tps_c, 1)
-            s.stop()
+            # fresh subprocess per config: reusing one JVM across sequential
+            # SparkContexts degrades throughput (GC/fragmentation) and
+            # contaminates the comparison
+            scaling[f"local[{cpus}]"] = _throughput_subprocess(cpus, replicate)
         result["scaling"] = scaling
         result["scaling_replicate"] = replicate
         result["scaling_efficiency_2_8"] = round(
@@ -143,6 +141,28 @@ def main() -> None:
         result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
 
     print(json.dumps(result))
+
+
+def _throughput_subprocess(cpus: int, replicate: int) -> float:
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "import bench\n"
+        "s = bench.make_spark({cpus}); s.sparkContext.setLogLevel('ERROR')\n"
+        "bench.warm_python_workers(s, {cpus})\n"
+        "tps, n, dt = bench.kg_throughput(s, {sf!r}, replicate={replicate})\n"
+        "print('TPS', tps)\n"
+        "s.stop()\n"
+    ).format(root=os.path.dirname(os.path.abspath(__file__)), cpus=cpus,
+             sf=SF_DIR, replicate=replicate)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("TPS "):
+            return round(float(line.split()[1]), 1)
+    raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
 
 
 def _sha_burn(n: int) -> None:
