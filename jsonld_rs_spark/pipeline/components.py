@@ -26,9 +26,11 @@ SALT_BUCKETS = 16
 
 
 def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
-    """min(neighbor ∪ self) per node via salted two-phase aggregation."""
+    """min(neighbor ∪ self) per node via salted two-phase aggregation.
+    Duplicate (u, u) rows are harmless under min — no distinct (a distinct
+    here would cost a full extra shuffle per CC round)."""
     with_self = edges.select("u", "v").unionByName(
-        edges.select(F.col("u").alias("u"), F.col("u").alias("v")).distinct()
+        edges.select(F.col("u").alias("u"), F.col("u").alias("v"))
     )
     return (
         with_self.withColumn("__salt", F.pmod(F.xxhash64("v"), F.lit(salt_buckets)))
@@ -63,7 +65,7 @@ def _small_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
     nbrs = oriented.select("u", "v")
     mins = _min_neighbor(nbrs, salt_buckets)
     members = nbrs.unionByName(
-        nbrs.select(F.col("u").alias("u"), F.col("u").alias("v")).distinct()
+        nbrs.select(F.col("u").alias("u"), F.col("u").alias("v"))
     )
     return (
         members.join(mins, "u")
