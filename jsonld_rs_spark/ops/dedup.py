@@ -72,14 +72,22 @@ def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame
     return spread(docs.select("doc_id", "text")).select("doc_id", *cols)
 
 
-def minhash_dup_pairs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+def minhash_dup_pairs(
+    docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = 0
+) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ANY band signature.
     Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
     no all-pairs comparison ever happens.
 
     Signatures are materialized once (localCheckpoint) so the self-join does
     not recompute shingling+hashing on both sides — at warehouse scale this
-    is "write the signature table, then join it with itself"."""
+    is "write the signature table, then join it with itself".
+
+    ``max_bucket > 0`` activates the 100 TB guardrail: buckets larger than
+    the cap are degenerate (a signature shared by a huge slice of the
+    corpus emits O(n²) pairs — boilerplate pages, empty docs) and are
+    skipped. Capped buckets should be logged/queried separately; default 0
+    keeps exact semantics for the oracle gate."""
     sigs = minhash_signatures(docs, bands).localCheckpoint()
     exploded = sigs.select(
         "doc_id",
@@ -92,6 +100,14 @@ def minhash_dup_pairs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    if max_bucket > 0:
+        sizes = (
+            exploded.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "sig")
+        )
+        exploded = exploded.join(sizes, ["band", "sig"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

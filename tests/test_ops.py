@@ -138,3 +138,16 @@ def test_multimodal_plumbing(docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", "image", strict=True)
+
+
+def test_minhash_bucket_cap_prunes_degenerate_buckets(spark, docs):
+    from jsonld_rs_spark.ops.dedup import minhash_dup_pairs
+
+    uncapped = minhash_dup_pairs(docs).count()
+    capped = minhash_dup_pairs(docs, max_bucket=20).count()
+    assert capped < uncapped  # hot buckets dominate this corpus
+    # capped pairs are a subset of uncapped pairs
+    extra = minhash_dup_pairs(docs, max_bucket=20).exceptAll(
+        minhash_dup_pairs(docs)
+    )
+    assert extra.count() == 0
