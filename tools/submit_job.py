@@ -27,7 +27,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/kg_out"
 
-    spark = SparkSession.builder.appName("jsonld-rs-spark-submit").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("jsonld-rs-spark-submit")
+        # html blobs are power-law sized: byte-budget Arrow batches by
+        # capping rows per batch (SURVEY.md §4.2)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     pages = latest_pages(synthesize_pages(spark, sf_dir))
