@@ -239,6 +239,90 @@ CASES = [
         },
         {},
     ),
+    (
+        "t0019",
+        "null property values and null @value drop",
+        {
+            "@context": {"@vocab": "http://e/"},
+            "@id": "http://e/x",
+            "p": None,
+            "q": {"@value": None},
+            "r": [None, "kept"],
+        },
+        {},
+    ),
+    (
+        "t0020",
+        "@list-container term receiving an explicit list object",
+        {
+            "@context": {"l": {"@id": "http://e/l", "@container": "@list"}},
+            "@id": "http://e/x",
+            "l": {"@list": ["a"]},
+        },
+        {},
+    ),
+    (
+        "t0021",
+        "keyword aliases for @value/@language/@list",
+        {
+            "@context": {
+                "val": "@value",
+                "lang": "@language",
+                "lst": "@list",
+                "p": "http://e/p",
+                "l": "http://e/l",
+            },
+            "@id": "http://e/x",
+            "p": {"val": "hola", "lang": "ES"},
+            "l": {"lst": [1, 2]},
+        },
+        {},
+    ),
+    (
+        "t0022",
+        "float lexical forms: int-valued float stays double; exponents",
+        {
+            "@id": "http://e/x",
+            "http://e/a": 2.0,
+            "http://e/b": 1e100,
+            "http://e/c": 1.5e-7,
+        },
+        {},
+    ),
+    (
+        "t0023",
+        "nested inline context overrides term for subtree only",
+        {
+            "@context": {"p": "http://outer.e/p", "q": "http://outer.e/q"},
+            "@id": "http://e/x",
+            "p": {
+                "@context": {"q": "http://inner.e/q"},
+                "@id": "http://e/y",
+                "q": "inner",
+            },
+            "q": "outer",
+        },
+        {},
+    ),
+    (
+        "t0024",
+        "term with @container @set always arrays; compact_arrays-independent",
+        {
+            "@context": {"s": {"@id": "http://e/s", "@container": "@set"}},
+            "@id": "http://e/x",
+            "s": "single",
+        },
+        {},
+    ),
+    (
+        "t0025",
+        "blank node @type relabel preserved as-is at expansion",
+        {
+            "@id": "http://e/x",
+            "@type": ["_:T", "http://e/T"],
+        },
+        {},
+    ),
 ]
 
 NEGATIVE_CASES = [
