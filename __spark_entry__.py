@@ -427,7 +427,9 @@ WITH words AS (
 ), shingled AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(len(w) - 1, 1)),
-                        i -> w[i] || ' ' || w[i + 1]) AS sh
+                        i -> CASE WHEN i + 1 <= len(w)
+                                  THEN w[i] || ' ' || w[i + 1]
+                                  ELSE w[i] END) AS sh
   FROM words
 )
 """

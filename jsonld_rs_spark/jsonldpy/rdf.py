@@ -57,8 +57,6 @@ def format_double(value: float) -> str:
         mantissa, exp = s.split("e")
         sign = "-" if exp.startswith("-") else ""
         digits = exp.lstrip("+-").lstrip("0") or "0"
-        if "." not in mantissa:
-            mantissa += ".0" if False else ""
         s = f"{mantissa}e{sign}{digits}"
     return s
 
@@ -240,14 +238,20 @@ def rdf_to_jsonld(
                     if quad.obj_value not in types:
                         types.append(quad.obj_value)
                     continue
-                usages.setdefault(graph_name, {}).setdefault(quad.obj_value, []).append(
-                    (quad.subj, quad.pred, quad.obj_value)
-                )
             node = node_map[quad.subj]
             value = literal_to_json(quad, use_native_types)
             arr = node.setdefault(quad.pred, [])
-            if value not in arr:
+            existing = next((v for v in arr if v == value), None)
+            if existing is None:
                 arr.append(value)
+                existing = value
+            if quad.obj_kind == "id":
+                # usages reference the SHARED value dict (spec §10.5): list
+                # reconstruction mutates it in place, which keeps nested
+                # lists correct regardless of processing order.
+                usages.setdefault(graph_name, {}).setdefault(quad.obj_value, []).append(
+                    (quad.subj, quad.pred, existing)
+                )
         graph_map[graph_name] = node_map
 
     for name in sorted(usages):
@@ -257,54 +261,41 @@ def rdf_to_jsonld(
         node_map = graph_map[name]
         nil_usages = graph_object.pop(RDF_NIL)
         for node_id, prop, head in nil_usages:
+            if prop == RDF_FIRST:
+                # empty list nested in another list: rdf:nil cannot convert
+                # (its usage is not unique) — JSON-LD 1.0 §10.5 4.3.3.1
+                continue
             chain: List[Any] = []
             list_nodes: List[str] = []
-            while True:
-                if (
-                    prop != RDF_REST
-                    or node_id not in graph_object
-                    or len(graph_object[node_id]) != 1
-                ):
-                    break
+            while (
+                prop == RDF_REST
+                and node_id.startswith("_:")
+                and len(graph_object.get(node_id, ())) == 1
+            ):
                 node = node_map.get(node_id)
                 if node is None or RDF_REST not in node or RDF_FIRST not in node:
                     break
-                if len(node) == 3 and "@type" in node:
-                    # @id + rdf:first + rdf:rest won't be len 3 with @type; the
-                    # reference allows exactly {@id, first, rest, @type=[rdf:List]}
-                    pass
+                # well-formed list node: {@id, rdf:first, rdf:rest} or the
+                # same plus @type == [rdf:List]
                 type_arr = node.get("@type")
                 if type_arr is not None:
                     if len(node) != 4 or type_arr != [RDF_LIST]:
                         break
                 elif len(node) > 3:
                     break
-                node = node_map.pop(node_id)
-                chain.append(node[RDF_FIRST].pop())
-                usage = graph_object[node_id][0]
+                first_values = node[RDF_FIRST]
+                if len(first_values) != 1:
+                    break
+                chain.append(first_values[0])
                 list_nodes.append(node_id)
-                node_id, prop, head = usage
-                if not node_id.startswith("_:"):
-                    break
-            if prop == RDF_FIRST:
-                if node_id == RDF_NIL:
-                    continue
-                head_obj = node_map.get(head)
-                if isinstance(head_obj, list) and head_obj:
-                    node_map[head] = head_obj[0]
-                chain.pop()
-                if list_nodes:
-                    list_nodes.pop()
-            head_object = node_map.pop(node_id, None)
-            if head_object is None:
-                continue
-            for value in head_object.get(prop, []):
-                if isinstance(value, dict) and value.get("@id") == head:
-                    value.pop("@id", None)
-                    chain.reverse()
-                    value["@list"] = chain
-                    break
-            node_map[node_id] = head_object
+                node_id, prop, head = graph_object[node_id][0]
+            # attach the list at the final reference by mutating the shared
+            # value dict; works for ordinary properties AND rdf:first of a
+            # parent list node (nested lists)
+            if isinstance(head, dict):
+                head.pop("@id", None)
+                chain.reverse()
+                head["@list"] = chain
             for ln in list_nodes:
                 node_map.pop(ln, None)
 

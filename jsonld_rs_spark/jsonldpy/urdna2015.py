@@ -277,7 +277,10 @@ def canonicalize_dataset(
         renamed = [
             Quad(
                 subj=rename(q.subj),
-                pred=q.pred,
+                # blank predicates (generalized RDF) aren't canonicalized by
+                # URDNA (not node positions), but when the same label IS a
+                # node elsewhere, renaming here keeps its identity whole
+                pred=rename(q.pred),
                 obj_kind=q.obj_kind,
                 obj_value=rename(q.obj_value) if q.obj_kind == "id" else q.obj_value,
                 obj_datatype=q.obj_datatype,

@@ -41,14 +41,17 @@ def exact_dedup(docs: DataFrame, min_copies: int = 1) -> DataFrame:
 
 def _shingles(col="text", k: int = 2):
     """Word k-shingle array (k=2), expressed with built-in array functions so
-    the whole operator stays JVM-side."""
+    the whole operator stays JVM-side. ``try_element_at``: under ANSI mode
+    (Spark 4 default) a plain element_at past the end of a <k-word document
+    throws; out-of-range words are skipped by concat_ws instead, so a
+    1-word doc shingles to [word]."""
     words = F.split(F.col(col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+            " ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
         ),
     )
 

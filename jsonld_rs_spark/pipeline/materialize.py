@@ -95,14 +95,27 @@ def extract_and_materialize(
         except Exception:
             pass  # nothing written yet → full run
 
-    records = extract_records(todo, stage="extract")
+    # run_id travels inside the records so lineage survives resumed runs:
+    # each metrics row stays attributed to the run that produced its batch.
+    records = extract_records(todo, stage="extract").withColumn(
+        "run_id", F.lit(run_id)
+    )
     records.write.mode("append").parquet(records_path)
     write_manifest(spark, out_dir, "extract", run_id, "records_done")
 
     all_records = spark.read.parquet(records_path)
-    triples, metrics = split_records(all_records)
+    triples, _ = split_records(all_records)
     write_triples(triples, triples_path, buckets)
-    metrics.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(metrics_path)
+    # rebuild metrics keeping the stored per-row run_id
+    m_rows = all_records.filter(F.col("rec_kind") == "m").select(
+        F.from_json(
+            "metrics",
+            "stage string, partition_id int, docs long, blocks long, triples long, "
+            "err_json long, err_jsonld long, err_canon long, wall_ms long",
+        ).alias("m"),
+        "run_id",
+    ).select("m.*", "run_id")
+    m_rows.write.mode("overwrite").parquet(metrics_path)
     write_manifest(spark, out_dir, "extract", run_id, "done")
 
     return {"records": records_path, "triples": triples_path, "metrics": metrics_path}

@@ -198,10 +198,9 @@ def synthesize_pages_from(docs):
     """
     import pandas as pd
 
-    spark = docs.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    from ..util import spread
+
+    docs = spread(docs)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -222,13 +221,14 @@ def latest_pages(pages_df):
 
     Deliberately NOT a window over the full rows: that would shuffle every
     html blob. Instead the winning (url, warc_ts) keys are computed with a
-    partial-aggregating groupBy over two tiny columns and joined back —
-    Catalyst broadcasts the key side at sandbox scale (zero html shuffle)
-    and falls back to a sort-merge join at crawl scale, where only then is
-    an html shuffle unavoidable. The plain window formulation is kept as
-    ``window_latest_event_per_user`` in the oracle suite.
+    partial-aggregating groupBy over two tiny columns and joined back. No
+    broadcast hint: Catalyst/AQE broadcasts the key side while it fits
+    (sandbox scale → zero html shuffle) and falls back to a sort-merge join
+    at crawl scale where the key side is billions of urls — a forced
+    broadcast would OOM the driver there. The plain window formulation is
+    kept as ``window_latest_event_per_user`` in the oracle suite.
     """
     from pyspark.sql import functions as F
 
     latest_keys = pages_df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    return pages_df.join(F.broadcast(latest_keys), ["url", "warc_ts"])
+    return pages_df.join(latest_keys, ["url", "warc_ts"])

@@ -92,8 +92,10 @@ def doc_to_quad_rows(
     ns = url_ns(url)
     for block_index, block in enumerate(blocks):
         try:
+            # RecursionError: adversarially nested JSON blows the C parser's
+            # stack long before expand's MAX_DEPTH guard can see the doc.
             doc = json.loads(block)
-        except ValueError:
+        except (ValueError, RecursionError):
             if counters is not None:
                 counters["err_json"] += 1
             if quarantine is not None:
@@ -115,6 +117,16 @@ def doc_to_quad_rows(
                 counters["err_jsonld"] += 1
             if quarantine is not None:
                 quarantine.append((url, block_index, exc.code))
+            continue
+        except (ValueError, RecursionError) as exc:
+            # scheme-less page url (parse_base), non-finite doubles
+            # (json.loads accepts NaN/Infinity), pathological nesting past
+            # json.loads but inside expansion helpers: per-document errors,
+            # never task kills.
+            if counters is not None:
+                counters["err_jsonld"] += 1
+            if quarantine is not None:
+                quarantine.append((url, block_index, f"value_error:{type(exc).__name__}"))
             continue
         for graph, quads in dataset.items():
             g = _namespace(graph, ns)
@@ -172,10 +184,17 @@ def extract_records(pages_df, store: Optional[Dict[str, Any]] = None, stage: str
             out: List[tuple] = []
             quarantine: List[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for row in doc_to_quad_rows(
+                q_before = len(quarantine)
+                doc_rows = doc_to_quad_rows(
                     url, bytes(html), local_store, counters, context_cache, quarantine
-                ):
+                )
+                for row in doc_rows:
                     out.append(("t",) + row + (None,))
+                if not doc_rows and len(quarantine) == q_before:
+                    # blockless page: emit a done-marker so resume's
+                    # processed-url set is complete (otherwise such pages
+                    # are re-extracted on every restart)
+                    out.append(("d", url, None, None, None, None, None, None, None, None))
             for q_url, block_index, code in quarantine:
                 out.append(
                     (

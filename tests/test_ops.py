@@ -151,3 +151,15 @@ def test_minhash_bucket_cap_prunes_degenerate_buckets(spark, docs):
         minhash_dup_pairs(docs)
     )
     assert extra.count() == 0
+
+
+def test_shingles_survive_short_docs(spark):
+    short = spark.createDataFrame(
+        [(1, "hello", "en", "s", 0), (2, "", "en", "s", 0), (3, "two words", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from jsonld_rs_spark.ops.dedup import minhash_signatures
+
+    rows = {r["doc_id"]: r for r in minhash_signatures(short).collect()}
+    assert len(rows) == 3  # no ANSI element_at crash
+    assert rows[1]["sig0"] is not None

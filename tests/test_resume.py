@@ -56,3 +56,17 @@ def test_bucketed_layout(spark, pages, tmp_path_factory):
 
     bad = df.filter(pmod(xxhash64("subj"), lit(8)).cast("int") != col("bucket")).count()
     assert bad == 0
+
+
+def test_metrics_keep_run_attribution_across_resume(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("attrib"))
+    partial = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 4)
+    extract_and_materialize(partial, out, run_id="runA")
+    extract_and_materialize(pages, out, run_id="runB")
+    metrics = spark.read.parquet(f"{out}/metrics")
+    by_run = {
+        r["run_id"]: r["docs"]
+        for r in metrics.groupBy("run_id").sum("docs").withColumnRenamed("sum(docs)", "docs").collect()
+    }
+    assert set(by_run) == {"runA", "runB"}
+    assert by_run["runA"] + by_run["runB"] == pages.count()

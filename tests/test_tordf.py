@@ -205,3 +205,22 @@ def test_canonicalize_dataset_renames_graph_labels():
     (graph_name,) = canon.keys()
     assert graph_name.startswith("_:c14n")
     assert canon[graph_name][0].subj.startswith("_:c14n")
+
+
+def test_fromrdf_nested_list():
+    # list-in-list: outer list's single item is itself a list ['a', 'b']
+    P = "http://e/p"
+    quads = [
+        Quad("http://e/x", P, "id", "_:outer"),
+        Quad("_:outer", RDF_FIRST, "id", "_:i0"),
+        Quad("_:outer", RDF_REST, "id", RDF_NIL),
+        Quad("_:i0", RDF_FIRST, "literal", "a", XSD_STRING),
+        Quad("_:i0", RDF_REST, "id", "_:i1"),
+        Quad("_:i1", RDF_FIRST, "literal", "b", XSD_STRING),
+        Quad("_:i1", RDF_REST, "id", RDF_NIL),
+    ]
+    out = rdf_to_jsonld({"@default": quads}, use_native_types=True)
+    outer = out["http://e/x"][P][0]["@list"]
+    assert len(outer) == 1
+    inner = outer[0]["@list"]
+    assert [v["@value"] for v in inner] == ["a", "b"]
