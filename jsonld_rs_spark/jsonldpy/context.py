@@ -73,6 +73,12 @@ class Context:
     vocabulary_mapping: Optional[str] = None
     language: Optional[str] = None
     terms: Dict[str, Term] = field(default_factory=dict)
+    # memo for vocab-mode, non-document-relative expand_iri: depends only on
+    # terms + vocabulary_mapping. Shared across copies (base-independent);
+    # REBOUND to a fresh dict on any mutation so sharers are unaffected.
+    _vocab_memo: Dict[str, str] = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def copy(self) -> "Context":
         return Context(
@@ -80,6 +86,7 @@ class Context:
             vocabulary_mapping=self.vocabulary_mapping,
             language=self.language,
             terms=dict(self.terms),
+            _vocab_memo=self._vocab_memo,
         )
 
     # ------------------------------------------------------------------ #
@@ -93,6 +100,19 @@ class Context:
         passthrough; vocab term lookup; prefix:suffix with blank-node and
         ``//`` guards; ``@vocab`` concatenation; base-IRI resolution.
         """
+        memoizable = vocab and not document_relative
+        if memoizable:
+            hit = self._vocab_memo.get(value)
+            if hit is not None:
+                return hit
+        result = self._expand_iri_uncached(value, document_relative, vocab)
+        if memoizable:
+            self._vocab_memo[value] = result
+        return result
+
+    def _expand_iri_uncached(
+        self, value: str, document_relative: bool, vocab: bool
+    ) -> str:
         if value.startswith("@"):
             return value
         if vocab and value in self.terms:
@@ -166,6 +186,7 @@ class Context:
         if term in KEYWORDS:
             raise E.TermCreationError(E.KEYWORD_REDEFINITION, term)
         self.terms.pop(term, None)
+        self._vocab_memo = {}  # rebind, not clear: copies may share the old one
 
         if isinstance(value, str):
             value = {"@id": value}
@@ -318,6 +339,7 @@ class Context:
                 self.vocabulary_mapping = None
                 self.language = None
                 self.terms = {}
+                self._vocab_memo = {}
             elif isinstance(context, str):
                 if len(remote_contexts) > 4:
                     raise E.ContextError(E.TOO_MANY_CONTEXTS, context)
@@ -370,6 +392,7 @@ class Context:
                         self.vocabulary_mapping = vocab
                     else:
                         raise E.ContextError(E.INVALID_VOCAB_MAPPING, str(vocab))
+                    self._vocab_memo = {}
                     defined["@vocab"] = _INVALID
 
                 if "@language" in context:
