@@ -42,7 +42,7 @@ def _escape(value: str) -> str:
 
 
 def _term_str(term: str, bnode_map: Optional[Dict[str, str]] = None) -> str:
-    if is_blank(term):
+    if term[:2] == "_:":  # inlined is_blank: hottest string op in hashing
         if bnode_map is not None:
             return bnode_map.get(term, term)
         return term
