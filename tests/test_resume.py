@@ -70,3 +70,25 @@ def test_metrics_keep_run_attribution_across_resume(spark, pages, tmp_path_facto
     }
     assert set(by_run) == {"runA", "runB"}
     assert by_run["runA"] + by_run["runB"] == pages.count()
+
+
+def test_bucket_partition_pruning(spark, pages, tmp_path_factory):
+    """Reading one subject-hash bucket must touch only that bucket's files —
+    the point of the bucketed layout (SURVEY.md §2.2 'Sinks')."""
+    out = str(tmp_path_factory.mktemp("prune"))
+    extract_and_materialize(pages, out, buckets=8, run_id="p")
+    df = spark.read.parquet(f"{out}/triples")
+    pruned = df.filter(F.col("bucket") == 3)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read returns exactly that bucket's rows
+    assert pruned.count() == df.filter(F.col("bucket") == 3).count() > 0
+    assert pruned.select("bucket").distinct().collect() == [
+        spark.createDataFrame([(3,)], "bucket int").collect()[0]
+    ]
