@@ -90,11 +90,13 @@ def connected_components(
     edges_df: DataFrame,
     max_iter: int = 30,
     salt_buckets: int = SALT_BUCKETS,
+    stats: dict = None,
 ) -> DataFrame:
     """sameAs edge list (src, dst) → (node, component).
 
     Deterministic: component id = lexicographic min node id. Self-loops and
-    duplicate/reversed edges are tolerated.
+    duplicate/reversed edges are tolerated. Pass ``stats={}`` to receive
+    {'rounds': N} — large-star/small-star converges in O(log n) rounds.
     """
     edges = (
         edges_df.select("src", "dst")
@@ -110,13 +112,17 @@ def connected_components(
     )
 
     prev_sig = None
+    rounds = 0
     for _ in range(max_iter):
         edges = _large_star(edges, salt_buckets).localCheckpoint()
         edges = _small_star(edges, salt_buckets).localCheckpoint()
+        rounds += 1
         sig = _signature(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # after convergence every edge is (node, root); roots map to themselves
     labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))

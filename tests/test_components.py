@@ -93,3 +93,30 @@ def test_canonicalize_subjects_rewrites_ids(spark):
     # literals must never be rewritten even if they textually match a node id
     lit = [r for r in out.collect() if r["obj_kind"] == "literal"][0]
     assert lit["obj_value"] == "B"
+
+
+def test_large_graph_converges_in_log_rounds(spark):
+    """5k-node graph with chains + hubs: correct labels and O(log n) rounds."""
+    rng = random.Random(99)
+    edges = []
+    # 50 chains of length 40 (diameter stress: hash-min would need ~40 rounds)
+    for c in range(50):
+        for i in range(39):
+            edges.append((f"c{c:02d}n{i:02d}", f"c{c:02d}n{i + 1:02d}"))
+    # 3 hubs with 500 spokes each (skew stress)
+    for h in range(3):
+        for s in range(500):
+            edges.append((f"hub{h}", f"hub{h}spoke{s:03d}"))
+    # noise
+    nodes = [e for pair in edges[:400] for e in pair]
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)]
+
+    stats = {}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    want = union_find(edges)
+    assert got == want
+    assert stats["rounds"] <= 8, stats  # log-round convergence, not diameter
