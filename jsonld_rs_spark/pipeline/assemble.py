@@ -44,16 +44,42 @@ def _rows_to_dataset(pdf) -> Dict[str, List[Quad]]:
 
 
 def assemble_documents(triples_df: DataFrame, use_native_types: bool = True) -> DataFrame:
-    """triples → one JSON-LD document per url (sorted keys, deterministic)."""
+    """triples → one JSON-LD document per url (sorted keys, deterministic).
+
+    NOT ``groupBy(url).applyInPandas``: with millions of tiny groups the
+    per-group pandas spin-up dominates. Instead: hash-repartition by url,
+    sort within partitions, and stream Arrow batches through ONE pandas pass
+    per batch — a url's rows may span batch boundaries, so the trailing
+    url's rows carry over to the next batch.
+    """
     import pandas as pd
 
-    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        url = pdf["url"].iloc[0]
-        dataset = _rows_to_dataset(pdf)
-        doc = rdf_to_jsonld(dataset, use_native_types=use_native_types)
-        return pd.DataFrame(
-            [(url, len(doc), json.dumps(doc, sort_keys=True))],
-            columns=["url", "n_nodes", "jsonld"],
-        )
+    spark = triples_df.sparkSession
 
-    return triples_df.groupBy("url").applyInPandas(build, schema=ASSEMBLED_SCHEMA)
+    def _assemble_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for url, group in pdf.groupby("url", sort=False):
+            doc = rdf_to_jsonld(_rows_to_dataset(group), use_native_types=use_native_types)
+            rows.append((url, len(doc), json.dumps(doc, sort_keys=True)))
+        return pd.DataFrame(rows, columns=["url", "n_nodes", "jsonld"])
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last_url = pdf["url"].iloc[-1]
+            head = pdf[pdf["url"] != last_url]
+            carry = pdf[pdf["url"] == last_url]
+            if len(head):
+                yield _assemble_pdf(head)
+        if carry is not None and len(carry):
+            yield _assemble_pdf(carry)
+
+    src = triples_df.repartition(
+        spark.sparkContext.defaultParallelism, "url"
+    ).sortWithinPartitions("url")
+    return src.mapInPandas(run, schema=ASSEMBLED_SCHEMA)
