@@ -63,3 +63,43 @@ def test_expand_compact_roundtrip_on_pipeline_blocks():
             assert reexpanded == expanded, f"doc {doc_id}: {json.dumps(compacted)[:200]}"
             n_checked += 1
     assert n_checked > 100
+
+
+def test_compact_list_of_lists_error():
+    from jsonld_rs_spark.jsonldpy import errors as E
+    from jsonld_rs_spark.jsonldpy.compact import compact_core
+
+    expanded = [
+        {
+            "@id": "http://e/x",
+            "http://e/l": [
+                {"@list": [{"@value": "a"}]},
+                {"@list": [{"@value": "b"}]},
+            ],
+        }
+    ]
+    ctx = {"l": {"@id": "http://e/l", "@container": "@list"}}
+    with pytest.raises(E.CompactionError) as exc:
+        compact_core(ctx, expanded)
+    assert exc.value.code == "compaction_to_list_of_lists"
+
+
+def test_compact_with_remote_context_via_loader():
+    loader = make_loader(BUILTIN_CONTEXTS)
+    expanded = [
+        {
+            "@id": "https://s.example/1",
+            "@type": ["http://schema.org/Article"],
+            "http://schema.org/name": [{"@value": "N"}],
+            "http://schema.org/sameAs": [{"@id": "http://kg.example/e/data"}],
+        }
+    ]
+    from jsonld_rs_spark.jsonldpy.compact import compact_core
+
+    out = compact_core("https://ctx.example/v1", expanded, loader=loader)
+    assert out["type"] == "Article"
+    assert out["name"] == "N"
+    assert out["sameAs"] == "http://kg.example/e/data"
+    assert out["@context"] == "https://ctx.example/v1"
+    # and it round-trips through expansion
+    assert expand(out, base="https://s.example/1", loader=loader) == expanded
