@@ -114,8 +114,9 @@ def connected_components(
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
-        edges = _large_star(edges, salt_buckets).localCheckpoint()
-        edges = _small_star(edges, salt_buckets).localCheckpoint()
+        # one checkpoint per round (after both stars): lineage depth stays
+        # bounded at 2 star-expansions, and we skip half the materializations
+        edges = _small_star(_large_star(edges, salt_buckets), salt_buckets).localCheckpoint()
         rounds += 1
         sig = _signature(edges)
         if sig == prev_sig:

@@ -122,3 +122,53 @@ def test_quarantine_rows_replayable(pages):
             raise AssertionError(f"block {r} parsed fine")
         except ValueError:
             pass
+
+
+def test_poison_document_quarantined_not_crashed(spark):
+    """A URDNA2015-adversarial block (symmetric blank clique) must land in
+    quarantine with the canonicalization error code — never kill the task."""
+    import json as _json
+
+    from jsonld_rs_spark.pipeline.triples import quarantined, split_records
+
+    n = 9
+    clique = [
+        {"@id": f"_:n{i}", "http://e/r": [{"@id": f"_:n{j}"} for j in range(n) if j != i]}
+        for i in range(n)
+    ]
+    html = (
+        '<script type="application/ld+json">'
+        + _json.dumps(clique)
+        + '</script><div id="doc-text">poison</div>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://poison.example/1", None, html, "poison", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    records = extract_records(pages)
+    q = quarantined(records).collect()
+    assert len(q) == 1
+    assert q[0]["error"] == "canonicalization_too_complex"
+    triples, metrics = split_records(records)
+    assert triples.count() == 0
+    assert metrics.groupBy().sum("err_canon").collect()[0][0] == 1
+
+
+def test_schemeless_url_quarantined_not_crashed(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "not-a-url",
+                None,
+                b'<script type="application/ld+json">{"@id": "x", "http://e/p": "v"}</script>',
+                "t",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    from jsonld_rs_spark.pipeline.triples import quarantined
+
+    records = extract_records(pages)
+    q = quarantined(records).collect()
+    assert len(q) == 1 and q[0]["error"].startswith("value_error")
