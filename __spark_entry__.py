@@ -100,7 +100,8 @@ def kg_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fromRDF assembly: triples → JSON-LD per url (grouped applyInPandas)."""
+    """fromRDF assembly: triples → JSON-LD per url (sorted-partition
+    streaming pandas pass; see pipeline/assemble.py)."""
     from jsonld_rs_spark.pipeline.assemble import assemble_documents
     from jsonld_rs_spark.pipeline.triples import dedup_triples  # noqa: F401
 
@@ -254,6 +255,94 @@ def setops_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: pairs of events by the same user within 10
+    minutes of each other. Band the time axis first so the join key is
+    (user_id, time_bucket) — the classic trick that keeps a range join from
+    degenerating into a per-user cross product at scale."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    window_us = 10 * 60 * 1_000_000
+    banded = e.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("ts_us") / window_us).cast("long"),
+                (F.col("ts_us") / window_us).cast("long") + 1,
+            )
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts_us") >= F.col("a.ts_us"))
+            & (F.col("b.ts_us") - F.col("a.ts_us") <= window_us)
+        )
+        .select(
+            "user_id",
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (F.col("b.ts_us") - F.col("a.ts_us")).alias("gap_us"),
+        )
+        .distinct()
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+def asof_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'purchase' event, the most recent earlier
+    'click' event of the same user — expressed as a union + window
+    last_value over the ordered stream (no per-row probing)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")), True).over(w),
+    ).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts_us")), True).over(w),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts_us", "last_click_id", "last_click_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (sort-based aggregate)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload column."""
     return (
@@ -387,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_order_totals": topk_order_totals,
         "rollup_orders_by_status_priority": rollup_orders_by_status_priority,
         "setops_mktsegments": setops_mktsegments,
+        "range_join_event_bursts": range_join_event_bursts,
+        "asof_join_purchase_context": asof_join_purchase_context,
+        "percentile_event_values": percentile_event_values,
         "json_funcs_events": json_funcs_events,
         "cube_events_by_type": cube_events_by_type,
         "string_funcs_docs": string_funcs_docs,
@@ -499,6 +591,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             )
             ORDER BY c_custkey
+        """,
+        "range_join_event_bursts": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            )
+            SELECT a.user_id AS user_id,
+                   a.event_id AS event_a,
+                   b.event_id AS event_b,
+                   b.ts_us - a.ts_us AS gap_us
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts_us >= a.ts_us
+             AND b.ts_us - a.ts_us <= 600000000
+            ORDER BY a.user_id, event_a, event_b
+        """,
+        "asof_join_purchase_context": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+              FROM events
+            ), marked AS (
+              SELECT *,
+                last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+                last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+              FROM e
+            )
+            SELECT user_id, event_id, ts_us, last_click_id, last_click_ts
+            FROM marked WHERE event_type = 'purchase'
+            ORDER BY user_id, event_id
+        """,
+        "percentile_event_values": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "json_funcs_events": """
             SELECT event_id,
