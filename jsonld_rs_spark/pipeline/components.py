@@ -22,16 +22,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SALT_BUCKETS = 16
+# min() skew is already handled by map-side partial aggregation; see
+# _min_neighbor for when a salted two-phase aggregation actually pays.
+SALT_BUCKETS = 1
 
 
 def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
-    """min(neighbor ∪ self) per node via salted two-phase aggregation.
-    Duplicate (u, u) rows are harmless under min — no distinct (a distinct
-    here would cost a full extra shuffle per CC round)."""
+    """min(neighbor ∪ self) per node.
+
+    Default (``salt_buckets<=1``) is a single groupBy: Spark's hash
+    aggregate already map-side-combines min, so a hub's neighbor list is
+    collapsed per task BEFORE the shuffle — salting adds a whole extra
+    exchange per CC round for nothing. The salted two-phase path is kept
+    for aggregations where partial aggregation cannot shrink skew
+    (collect_list-shaped combiners), and for A/B-ing the claim.
+    Duplicate (u, u) rows are harmless under min — no distinct."""
     with_self = edges.select("u", "v").unionByName(
         edges.select(F.col("u").alias("u"), F.col("u").alias("v"))
     )
+    if salt_buckets <= 1:
+        return with_self.groupBy("u").agg(F.min("v").alias("m"))
     return (
         with_self.withColumn("__salt", F.pmod(F.xxhash64("v"), F.lit(salt_buckets)))
         .groupBy("u", "__salt")
@@ -113,6 +123,7 @@ def connected_components(
 
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         # one checkpoint per round (after both stars): lineage depth stays
         # bounded at 2 star-expansions, and we skip half the materializations
@@ -120,8 +131,14 @@ def connected_components(
         rounds += 1
         sig = _signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # fall-through would emit multiple conflicting labels per node
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
 
@@ -135,9 +152,18 @@ def connected_components(
     )
 
 
+TRIPLE_COLS = [
+    "url", "graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+]
+
+
 def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> DataFrame:
-    """Rewrite subj/obj ids to their canonical component representative
-    (sort-merge joins on the big side; AQE handles skewed hub entities)."""
+    """Rewrite subj, id-objects AND graph names to their canonical component
+    representative (sort-merge joins on the big side; AQE handles skewed hub
+    entities). Literal rows never enter the object join — their payload is
+    the corpus's bulk and would otherwise be shuffled just to be discarded.
+    Graph names are rewritten too: a named graph declared by an entity must
+    follow the entity's canonical id or assembly drops it."""
     comp = components_df
     t = triples_df.join(
         comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "__subj_c"),
@@ -145,21 +171,36 @@ def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> Da
         "left",
     )
     t = t.join(
+        comp.withColumnRenamed("node", "graph").withColumnRenamed("component", "__graph_c"),
+        "graph",
+        "left",
+    )
+    rewritten_common = t.select(
+        "url",
+        F.coalesce("__graph_c", "graph").alias("graph"),
+        F.coalesce("__subj_c", "subj").alias("subj"),
+        "pred",
+        "obj_kind",
+        "obj_value",
+        "obj_datatype",
+        "obj_lang",
+    )
+    ids = rewritten_common.filter(F.col("obj_kind") == "id")
+    literals = rewritten_common.filter(F.col("obj_kind") != "id")
+    ids = ids.join(
         comp.withColumnRenamed("node", "obj_value").withColumnRenamed(
             "component", "__obj_c"
         ),
         ["obj_value"],
         "left",
-    )
-    return t.select(
+    ).select(
         "url",
         "graph",
-        F.coalesce("__subj_c", "subj").alias("subj"),
+        "subj",
         "pred",
         "obj_kind",
-        F.when(F.col("obj_kind") == "id", F.coalesce("__obj_c", "obj_value"))
-        .otherwise(F.col("obj_value"))
-        .alias("obj_value"),
+        F.coalesce("__obj_c", "obj_value").alias("obj_value"),
         "obj_datatype",
         "obj_lang",
     )
+    return ids.select(*TRIPLE_COLS).unionByName(literals.select(*TRIPLE_COLS))

@@ -38,7 +38,11 @@ def dictionary_df(spark):
 
 
 def detect_mentions(pages_df, surface_forms: List[str] = None):
-    """pages(url, text) → (url, surface_form, tf). Narrow stage, no shuffle."""
+    """pages(url, text) → (url, surface_form, tf). Narrow stage, no shuffle.
+
+    Pass a PERSISTED (or scan-rooted) pages_df: ``spread`` probes partition
+    counts, which on an unpersisted post-shuffle plan makes AQE execute the
+    upstream once before the real job (see util.spread / CLAUDE.md)."""
     import pandas as pd
 
     from ..util import spread

@@ -88,12 +88,16 @@ def extract_and_materialize(
     metrics_path = os.path.join(out_dir, "metrics")
 
     todo = pages_df
-    if resume:
-        try:
-            done_urls = spark.read.parquet(records_path).select("url").distinct()
-            todo = pages_df.join(done_urls, "url", "left_anti")
-        except Exception:
-            pass  # nothing written yet → full run
+    existing = os.path.exists(records_path)
+    if resume and existing:
+        # read errors must FAIL here — swallowing them would re-append a
+        # full copy of every record (duplicated triples + metrics)
+        done_urls = spark.read.parquet(records_path).select("url").distinct()
+        todo = pages_df.join(done_urls, "url", "left_anti")
+    elif not resume and existing:
+        import shutil
+
+        shutil.rmtree(records_path)  # fresh run replaces prior records
 
     # run_id travels inside the records so lineage survives resumed runs:
     # each metrics row stays attributed to the run that produced its batch.

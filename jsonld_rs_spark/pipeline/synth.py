@@ -141,7 +141,8 @@ def synthesize_rows(doc_id: int, text: str, lang: str, source: str) -> Iterator[
     """All crawl rows for one document (1 fresh + sometimes 1 stale)."""
     url = page_url(source, doc_id)
     blocks = blocks_for_doc(doc_id, text, lang)
-    ts = CRAWL_EPOCH + timedelta(seconds=int(doc_id) * 97)
+    # modulo keeps the timestamp inside datetime range for replicated ids
+    ts = CRAWL_EPOCH + timedelta(seconds=(int(doc_id) % 100_000_000) * 97)
     yield {
         "url": url,
         "warc_ts": ts,
@@ -178,8 +179,12 @@ def synthesize_pages(spark, sf_dir: str, replicate: int = 1):
         "doc_id", "text", "lang", "source"
     )
     if replicate > 1:
+        # offset must exceed any real doc_id or copies collide into
+        # byte-identical pages; 10^9 dwarfs the sandbox id space and
+        # synthesize_rows derives warc_ts from doc_id modulo 10^8 so the
+        # timestamp arithmetic can't overflow for any replica
         copies = [
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
             for i in range(replicate)
         ]
         base = copies[0]
@@ -230,5 +235,13 @@ def latest_pages(pages_df):
     """
     from pyspark.sql import functions as F
 
-    latest_keys = pages_df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    return pages_df.join(latest_keys, ["url", "warc_ts"])
+    # tie-break on an html hash so two crawls at the same max timestamp
+    # yield exactly one winner. Only byte-identical rows (same url, ts, AND
+    # html) can still pass twice; a dropDuplicates here would shuffle the
+    # html to fix only that pathological case, so it's left to
+    # dedup_triples downstream instead.
+    keyed = pages_df.withColumn("__h", F.xxhash64("html"))
+    latest_keys = keyed.groupBy("url").agg(
+        F.max(F.struct("warc_ts", "__h")).alias("__m")
+    ).select("url", F.col("__m.warc_ts").alias("warc_ts"), F.col("__m.__h").alias("__h"))
+    return keyed.join(latest_keys, ["url", "warc_ts", "__h"]).drop("__h")

@@ -61,7 +61,11 @@ TRIPLES_DDL = (
 
 
 def url_ns(url: str) -> str:
-    return hashlib.blake2b(url.encode("utf-8"), digest_size=4).hexdigest()
+    # 96-bit namespace: birthday bound ~2^48 docs before a collision is
+    # expected — safe at the 10^12-doc design scale (32 bits would collide
+    # from ~10^5 urls and dedup_triples would then silently merge distinct
+    # blank nodes).
+    return hashlib.blake2b(url.encode("utf-8"), digest_size=12).hexdigest()
 
 
 def _namespace(term: str, ns: str) -> str:

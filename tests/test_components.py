@@ -120,3 +120,21 @@ def test_large_graph_converges_in_log_rounds(spark):
     want = union_find(edges)
     assert got == want
     assert stats["rounds"] <= 8, stats  # log-round convergence, not diameter
+
+
+def test_canonicalize_rewrites_graph_names(spark):
+    triples = spark.createDataFrame(
+        [
+            ("u1", "http://e/b", "http://e/b", "http://p/name", "literal", "B", "xsd:string", None),
+            ("u1", "@default", "http://e/inner", "http://p/in", "id", "http://e/b", None, None),
+        ],
+        "url string, graph string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_datatype string, obj_lang string",
+    )
+    comps = spark.createDataFrame(
+        [("http://e/b", "http://e/a")], "node string, component string"
+    )
+    out = canonicalize_subjects(triples, comps)
+    rows = {(r["graph"], r["subj"], r["obj_value"]) for r in out.collect()}
+    assert ("http://e/a", "http://e/a", "B") in rows  # graph + subj rewritten
+    assert ("@default", "http://e/inner", "http://e/a") in rows  # obj rewritten

@@ -172,3 +172,21 @@ def test_schemeless_url_quarantined_not_crashed(spark):
     records = extract_records(pages)
     q = quarantined(records).collect()
     assert len(q) == 1 and q[0]["error"].startswith("value_error")
+
+
+def test_latest_pages_tie_break_single_winner(spark):
+    from datetime import datetime
+
+    from jsonld_rs_spark.pipeline.synth import latest_pages
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("https://t.example/1", ts, b"<html>old</html>", "t", "en"),
+        ("https://t.example/1", ts, b"<html>new</html>", "t", "en"),  # same ts!
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = latest_pages(pages).collect()
+    assert len(out) == 1  # hash tie-break picks exactly one
