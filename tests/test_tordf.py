@@ -224,3 +224,28 @@ def test_fromrdf_nested_list():
     assert len(outer) == 1
     inner = outer[0]["@list"]
     assert [v["@value"] for v in inner] == ["a", "b"]
+
+
+def test_conflicting_index_values_error():
+    doc = [
+        {"@id": "http://e/x", "@index": "a", "http://e/p": [{"@value": 1}]},
+        {"@id": "http://e/x", "@index": "b", "http://e/p": [{"@value": 2}]},
+    ]
+    from jsonld_rs_spark.jsonldpy.nodemap import generate_node_map
+
+    with pytest.raises(E.NodeMapError) as exc:
+        generate_node_map(doc, DefaultNodeGenerator())
+    assert exc.value.code == E.CONFLICTING_INDEX_VALUES
+
+
+def test_property_nested_named_graph():
+    doc = {
+        "@id": "http://e/root",
+        "http://e/describes": {
+            "@id": "http://e/g1",
+            "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+    }
+    ds = _rdf(doc)
+    assert ds["@default"][0].pred == "http://e/describes"
+    assert [q.subj for q in ds["http://e/g1"]] == ["http://e/a"]
