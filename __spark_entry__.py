@@ -415,6 +415,37 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_rs_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + aggregate: corpus-wide top-20 word frequencies."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/array_agg: smallest five doc_ids per source."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("first_docs"))
+        .select("source", F.concat_ws(",", F.col("first_docs")).alias("first_docs"))
+        .orderBy("source")
+    )
+
+
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.text import token_count
 
@@ -487,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_docs": minhash_signatures_docs,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
         "simhash_docs": simhash_docs,
+        "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+        "word_counts_top20": word_counts_top20,
+        "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
@@ -694,6 +728,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
             FROM sums ORDER BY doc_id
+        """,
+        "ngram_jaccard_pairs_docs": _SHINGLES_CTE
+        + f"""
+        , sigs AS (
+          SELECT doc_id, {_MINHASH_SIG_COLS}
+          FROM shingled
+        ), exploded AS (
+          SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs
+          UNION ALL SELECT doc_id, 1, sig1 FROM sigs
+          UNION ALL SELECT doc_id, 2, sig2 FROM sigs
+          UNION ALL SELECT doc_id, 3, sig3 FROM sigs
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM exploded a JOIN exploded b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), sets AS (
+          SELECT doc_id, list_distinct(sh) AS s FROM shingled
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+        FROM pairs
+        JOIN sets x ON x.doc_id = doc_a
+        JOIN sets y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+        ORDER BY doc_a, doc_b
+        """,
+        "word_counts_top20": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "docs_per_source_sample": """
+            SELECT source,
+                   array_to_string(list_sort(list(doc_id))[1:5], ',') AS first_docs
+            FROM documents GROUP BY source ORDER BY source
         """,
         "token_count_docs": """
             SELECT doc_id,
