@@ -470,6 +470,14 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_rs_spark.ops.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_probe=500
+    ).orderBy("vec_a", "vec_b")
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.similarity import brute_force_topk
 
@@ -525,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "media_features": media_features,
@@ -813,6 +822,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(text)) AS fp_md5,
                    md5(substr(lower(text), 1, 64)) AS fp_head
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_near_dup_pairs": """
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 500
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ORDER BY vec_a, vec_b
         """,
         "ann_topk_cosine": """
             WITH corpus AS (
