@@ -140,11 +140,14 @@ def main() -> None:
         spark.stop()
         replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
         scaling = {}
-        for cpus in (2, 8, CPUS):
-            # fresh subprocess per config: reusing one JVM across sequential
-            # SparkContexts degrades throughput (GC/fragmentation) and
-            # contaminates the comparison
-            scaling[f"local[{cpus}]"] = _throughput_subprocess(cpus, replicate)
+        # fresh subprocess per config (one JVM across sequential contexts
+        # degrades); two interleaved passes sample different host-noise
+        # windows — per-config best is the least contaminated estimate
+        for _pass in range(2):
+            for cpus in (2, 8, CPUS):
+                tps_c = _throughput_subprocess(cpus, replicate)
+                key = f"local[{cpus}]"
+                scaling[key] = max(scaling.get(key, 0.0), tps_c)
         result["scaling"] = scaling
         result["scaling_replicate"] = replicate
         result["scaling_efficiency_2_8"] = round(
