@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+Demonstrates the ``applyInPandasWithState`` pattern the engine uses for any
+custom stateful operator Spark lacks (SURVEY.md §2.2 'Streaming'): state is
+keyed (bounded per key), timeouts seal sessions, and the operator emits
+rows only when a session closes — so state size is O(active keys), never
+O(stream length).
+
+Semantics: events for a user belong to one session while consecutive events
+are ≤ ``gap`` apart (event time); a session is emitted when a later event
+breaks the gap, or at stream end via timeout/availableNow flush.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events int"
+)
+STATE_SCHEMA = "start long, end long, n int"
+
+GAP_US_DEFAULT = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator["object"],
+    state: GroupState,
+    gap_us: int = GAP_US_DEFAULT,
+):
+    import pandas as pd
+
+    (user_id,) = key
+    ts_list = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start = end = None
+        n = 0
+
+    closed = []
+    for t in ts_list:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end <= gap_us:
+            end, n = t, n + 1
+        else:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+
+    if state.hasTimedOut:
+        if start is not None:
+            closed.append((start, end, n))
+        state.remove()
+    else:
+        state.update((start, end, n))
+        state.setTimeoutDuration(60 * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            [
+                (
+                    user_id,
+                    pd.Timestamp(s * 1000, unit="ns"),
+                    pd.Timestamp(e * 1000, unit="ns"),
+                    c,
+                )
+                for s, e, c in closed
+            ],
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+
+def sessionize(events_stream: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+    """events stream (user_id, ts, ...) → closed sessions per user."""
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_group(key, pdfs, state, gap_us)
+
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_golden(rows, gap_us: int = GAP_US_DEFAULT):
+    """Pure-Python golden: (user_id, ts_us) rows → closed+open sessions."""
+    by_user = {}
+    for user_id, ts_us in rows:
+        by_user.setdefault(user_id, []).append(ts_us)
+    out = []
+    for user_id, ts_list in by_user.items():
+        ts_list.sort()
+        start = end = None
+        n = 0
+        for t in ts_list:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= gap_us:
+                end, n = t, n + 1
+            else:
+                out.append((user_id, start, end, n))
+                start, end, n = t, t, 1
+        if start is not None:
+            out.append((user_id, start, end, n))
+    return sorted(out)
