@@ -226,7 +226,7 @@ def _expand(
                     expanded_value = tex if isinstance(tex, list) else [tex]
                 elif prop == "@set":
                     expanded_value = _expand(
-                        active_context, active_property, value, loader, depth + 1
+                        active_context, active_property, value, loader, depth + 1, context_cache
                     )
                 elif prop == "@reverse":
                     if not isinstance(value, dict):

@@ -51,29 +51,25 @@ def flatten(expanded: Any, generator: BlankNodeGenerator = None) -> List[Any]:
 
     default_graph = dict(node_map.get("@default", {}))
     # named graphs attach under the @graph of their defining node
+    subgraphs: Dict[str, List[Any]] = {}
     for graph_name in sorted(node_map):
         if graph_name == "@default":
             continue
-        entry = default_graph.get(graph_name)
-        if entry is None:
-            entry = Entity(id=graph_name)
-            default_graph[graph_name] = entry
+        if graph_name not in default_graph:
+            default_graph[graph_name] = Entity(id=graph_name)
         graph_nodes = node_map[graph_name]
-        entry_json_graph = [
+        subgraphs[graph_name] = [
             entity_to_json(graph_nodes[nid])
             for nid in sorted(graph_nodes)
             if len(graph_nodes[nid].data) > 0
             or graph_nodes[nid].types
             or graph_nodes[nid].index is not None
         ]
-        # store as attribute used below during serialization
-        entry._flatten_graph = entry_json_graph  # type: ignore[attr-defined]
 
     result = []
     for nid in sorted(default_graph):
-        node = default_graph[nid]
-        json_node = entity_to_json(node)
-        sub = getattr(node, "_flatten_graph", None)
+        json_node = entity_to_json(default_graph[nid])
+        sub = subgraphs.get(nid)
         if sub is not None:
             json_node["@graph"] = sub
         if len(json_node) > 1:

@@ -28,9 +28,17 @@ def parse_base(value: str) -> str:
     if not has_scheme(value):
         raise ValueError(f"relative URL without a base: {value!r}")
     # fast path: authority-form URL that already has a path — the common
-    # shape of every crawl url; urlsplit costs show up at 10^12 docs
+    # shape of every crawl url; urlsplit costs show up at 10^12 docs.
+    # Bail to the slow path when '?'/'#' exist (a '/' may live inside the
+    # query/fragment) or dot-segments need normalizing.
     i = value.find("://")
-    if i > 0 and value.find("/", i + 3) != -1:
+    if (
+        i > 0
+        and "?" not in value
+        and "#" not in value
+        and "/." not in value
+        and value.find("/", i + 3) != -1
+    ):
         return value
     scheme, netloc, path, query, frag = urlsplit(value)
     if netloc and not path:
@@ -38,12 +46,24 @@ def parse_base(value: str) -> str:
     return urlunsplit((scheme, netloc, path, query, frag))
 
 
+_REGISTERED_SCHEMES = set(uses_relative) & set(uses_netloc)
+_MAX_CUSTOM_SCHEMES = 64
+
+
 def _ensure_scheme_registered(scheme: str) -> None:
     # urljoin only resolves relative refs for schemes it knows; JSON-LD test
-    # suites use http(s) plus the occasional custom scheme.
-    if scheme and scheme not in uses_relative:
+    # suites use http(s) plus the occasional custom scheme. Registration is
+    # capped: urllib's scheme lists are process-global and linear-scanned,
+    # so unbounded adversarial schemes would degrade every urljoin in the
+    # worker. Past the cap, unknown-scheme refs resolve as urljoin defaults.
+    if not scheme or scheme in _REGISTERED_SCHEMES:
+        return
+    if len(_REGISTERED_SCHEMES) >= _MAX_CUSTOM_SCHEMES:
+        return
+    _REGISTERED_SCHEMES.add(scheme)
+    if scheme not in uses_relative:
         uses_relative.append(scheme)
-    if scheme and scheme not in uses_netloc:
+    if scheme not in uses_netloc:
         uses_netloc.append(scheme)
 
 
@@ -62,6 +82,7 @@ def resolve(base: str, reference: str) -> str:
         reference
         and "?" not in base
         and "#" not in base
+        and "/." not in base  # dot-segments in base must normalize (RFC §5.3)
         and not reference.startswith(("/", "?", "#"))
         and "./" not in reference
         and ".." not in reference

@@ -184,6 +184,10 @@ def _generate_node_map(
         if list_acc is not None:
             list_acc.append(reference)
         else:
+            if active_subject[0] == "none":
+                # unreachable from valid expanded input (the reference marks
+                # it unreachable!), but flatten() is public API — classify
+                raise E.NodeMapError(E.INVALID_OBJECT, "@value at document root")
             kind, subj, prop = active_subject
             node = node_map[active_graph][subj]
             existing = node.data.get(prop)
@@ -199,6 +203,8 @@ def _generate_node_map(
         _generate_node_map(
             element["@list"], node_map, active_graph, active_subject, result, generator
         )
+        if active_subject[0] == "none":
+            raise E.NodeMapError(E.INVALID_OBJECT, "@list at document root")
         kind, subj, prop = active_subject
         node = node_map[active_graph][subj]
         node.data.setdefault(prop, []).append(PList(result))

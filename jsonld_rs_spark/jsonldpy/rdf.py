@@ -196,7 +196,13 @@ def literal_to_json(quad: Quad, use_native_types: bool) -> Dict[str, Any]:
     elif use_native_types and typeval in (XSD_INTEGER, XSD_DOUBLE):
         try:
             parsed = json.loads(value)
-            if isinstance(parsed, (int, float)) and not isinstance(parsed, bool):
+            # json.loads accepts NaN/Infinity, which are not representable
+            # in JSON-LD values — keep those as typed strings
+            if (
+                isinstance(parsed, (int, float))
+                and not isinstance(parsed, bool)
+                and (isinstance(parsed, int) or math.isfinite(parsed))
+            ):
                 typeval, value = None, parsed
         except ValueError:
             pass
@@ -223,6 +229,14 @@ def rdf_to_jsonld(
     untested in-repo, SURVEY.md §5). This implementation follows the
     JSON-LD 1.0 fromRDF algorithm: a list node is {@id, rdf:first,
     rdf:rest} (len 3) or the same plus @type=[rdf:List] (len 4).
+
+    Reference quirk preserved (rdf.rs:486-509): a named graph is attached
+    only when its name appears as a default-graph subject; a graph whose
+    name never occurs in the default graph is DROPPED from the output
+    (the spec would hoist an {@id: name} entry into the default graph).
+    Per-document toRDF output always names graphs from a containing node,
+    so the pipeline never hits this; callers feeding arbitrary datasets
+    should add the {@id} stub themselves if they need those graphs.
     """
     graph_map: Dict[str, Dict[str, Any]] = {}
     usages: Dict[str, Dict[str, List[Tuple[str, str, str]]]] = {}

@@ -106,8 +106,12 @@ class _Canonicalizer:
         self.canonical = IdentifierIssuer("_:c14n")
         self._fdh_cache: Dict[str, str] = {}
         for graph, quad in gquads:
+            # one registration per quad per DISTINCT blank label: a quad like
+            # (_:a p _:a) must serialize once in hash-first-degree input
+            seen = set()
             for term in (quad.subj, quad.obj_value if quad.obj_kind == "id" else None, graph):
-                if term is not None and is_blank(term):
+                if term is not None and term not in seen and is_blank(term):
+                    seen.add(term)
                     self.bnode_quads.setdefault(term, []).append((graph, quad))
 
     def _spend(self, units: int = 1) -> None:
