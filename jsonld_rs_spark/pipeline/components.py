@@ -157,50 +157,32 @@ TRIPLE_COLS = [
 ]
 
 
+def _rewrite_column(df: DataFrame, comp: DataFrame, col: str) -> DataFrame:
+    """Left-join rewrite of one id column to its component representative."""
+    return (
+        df.join(
+            comp.withColumnRenamed("node", col).withColumnRenamed("component", "__c"),
+            col,
+            "left",
+        )
+        .withColumn(col, F.coalesce("__c", F.col(col)))
+        .drop("__c")
+    )
+
+
 def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> DataFrame:
     """Rewrite subj, id-objects AND graph names to their canonical component
     representative (sort-merge joins on the big side; AQE handles skewed hub
-    entities). Literal rows never enter the object join — their payload is
-    the corpus's bulk and would otherwise be shuffled just to be discarded.
-    Graph names are rewritten too: a named graph declared by an entity must
-    follow the entity's canonical id or assembly drops it."""
+    entities). The table is split by obj_kind FIRST so literal rows never
+    enter the object join (their payload is the corpus's bulk, and it would
+    be shuffled just to be discarded) and so the union branches share no
+    recomputed joins. Graph names are rewritten too: a named graph declared
+    by an entity must follow the entity's canonical id or assembly drops it."""
     comp = components_df
-    t = triples_df.join(
-        comp.withColumnRenamed("node", "subj").withColumnRenamed("component", "__subj_c"),
-        "subj",
-        "left",
-    )
-    t = t.join(
-        comp.withColumnRenamed("node", "graph").withColumnRenamed("component", "__graph_c"),
-        "graph",
-        "left",
-    )
-    rewritten_common = t.select(
-        "url",
-        F.coalesce("__graph_c", "graph").alias("graph"),
-        F.coalesce("__subj_c", "subj").alias("subj"),
-        "pred",
-        "obj_kind",
-        "obj_value",
-        "obj_datatype",
-        "obj_lang",
-    )
-    ids = rewritten_common.filter(F.col("obj_kind") == "id")
-    literals = rewritten_common.filter(F.col("obj_kind") != "id")
-    ids = ids.join(
-        comp.withColumnRenamed("node", "obj_value").withColumnRenamed(
-            "component", "__obj_c"
-        ),
-        ["obj_value"],
-        "left",
-    ).select(
-        "url",
-        "graph",
-        "subj",
-        "pred",
-        "obj_kind",
-        F.coalesce("__obj_c", "obj_value").alias("obj_value"),
-        "obj_datatype",
-        "obj_lang",
-    )
+    ids = triples_df.filter(F.col("obj_kind") == "id")
+    literals = triples_df.filter(F.col("obj_kind") != "id")
+    for col in ("subj", "graph", "obj_value"):
+        ids = _rewrite_column(ids, comp, col)
+    for col in ("subj", "graph"):
+        literals = _rewrite_column(literals, comp, col)
     return ids.select(*TRIPLE_COLS).unionByName(literals.select(*TRIPLE_COLS))
