@@ -37,15 +37,10 @@ HEADLINE = [
 
 
 def make_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    from jsonld_rs_spark.conf import session_builder
 
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("jsonld-rs-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        session_builder(f"local[{cpus}]", "jsonld-rs-spark-bench")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

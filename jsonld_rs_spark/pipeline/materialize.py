@@ -111,12 +111,10 @@ def extract_and_materialize(
     triples, _ = split_records(all_records)
     write_triples(triples, triples_path, buckets)
     # rebuild metrics keeping the stored per-row run_id
+    from .triples import METRICS_DDL
+
     m_rows = all_records.filter(F.col("rec_kind") == "m").select(
-        F.from_json(
-            "metrics",
-            "stage string, partition_id int, docs long, blocks long, triples long, "
-            "err_json long, err_jsonld long, err_canon long, wall_ms long",
-        ).alias("m"),
+        F.from_json("metrics", METRICS_DDL).alias("m"),
         "run_id",
     ).select("m.*", "run_id")
     m_rows.write.mode("overwrite").parquet(metrics_path)

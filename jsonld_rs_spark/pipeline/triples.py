@@ -59,6 +59,11 @@ TRIPLES_DDL = (
     "obj_value string, obj_datatype string, obj_lang string"
 )
 
+METRICS_DDL = (
+    "stage string, partition_id int, docs long, blocks long, triples long, "
+    "err_json long, err_jsonld long, err_canon long, wall_ms long"
+)
+
 
 def url_ns(url: str) -> str:
     # 96-bit namespace: birthday bound ~2^48 docs before a collision is
@@ -231,13 +236,9 @@ def split_records(records_df):
     from pyspark.sql import functions as F
 
     triples = records_df.filter(F.col("rec_kind") == "t").select(*TRIPLE_COLUMNS)
-    metrics_schema = (
-        "stage string, partition_id int, docs long, blocks long, triples long, "
-        "err_json long, err_jsonld long, err_canon long, wall_ms long"
-    )
     metrics = (
         records_df.filter(F.col("rec_kind") == "m")
-        .select(F.from_json("metrics", metrics_schema).alias("m"))
+        .select(F.from_json("metrics", METRICS_DDL).alias("m"))
         .select("m.*")
     )
     return triples, metrics

@@ -16,8 +16,6 @@ import sys
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
     from jsonld_rs_spark.pipeline.components import connected_components
     from jsonld_rs_spark.pipeline.linking import sameas_edges
     from jsonld_rs_spark.pipeline.materialize import extract_and_materialize, read_triples
@@ -27,14 +25,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/kg_out"
 
-    spark = (
-        SparkSession.builder.appName("jsonld-rs-spark-submit")
-        # html blobs are power-law sized: byte-budget Arrow batches by
-        # capping rows per batch (SURVEY.md §4.2)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
+    from jsonld_rs_spark.conf import session_builder
+
+    spark = session_builder(app_name="jsonld-rs-spark-submit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     pages = latest_pages(synthesize_pages(spark, sf_dir))
