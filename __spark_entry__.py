@@ -103,7 +103,6 @@ def kg_assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fromRDF assembly: triples → JSON-LD per url (sorted-partition
     streaming pandas pass; see pipeline/assemble.py)."""
     from jsonld_rs_spark.pipeline.assemble import assemble_documents
-    from jsonld_rs_spark.pipeline.triples import dedup_triples  # noqa: F401
 
     return assemble_documents(_kg_triples(spark, sf_dir)).orderBy("url")
 

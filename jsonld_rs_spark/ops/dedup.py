@@ -14,8 +14,6 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from typing import List
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,13 +159,12 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # threshold on the RAW ratio (rounding only for display) — the oracle
+    # filters raw too; filtering the rounded value would flip boundary pairs
     return (
-        j.select(
-            "doc_a",
-            "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        j.withColumn("__raw", inter / union)
+        .filter(F.col("__raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("__raw", 6).alias("jaccard"))
     )
 
 

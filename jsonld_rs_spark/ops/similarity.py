@@ -89,6 +89,11 @@ def lsh_topk(
     from ..util import spread
 
     first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None or first["d"] is None:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     dim = first["d"]
     # materialize once: both the query side and the candidate side read it
     corpus = with_lsh_bucket(

@@ -13,7 +13,10 @@ Design choices for scale:
   partition/broadcast behavior;
 * dedup state is bounded by a watermark on ``warc_ts`` (without it, a
   10^12-row stream accumulates unbounded state);
-* checkpointLocation gives exactly-once over file sources; restart-safe.
+* foreachBatch alone is only at-least-once; each batch writes to its own
+  ``batch=<id>`` directory with overwrite, so a replayed batch replaces its
+  previous attempt — idempotent, hence exactly-once end-to-end with the
+  file-source checkpoint.
 """
 
 from __future__ import annotations
@@ -68,7 +71,11 @@ def start_streaming_extraction(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         records = extract_records(batch_df, store=store, stage=f"stream_b{batch_id}")
-        records.write.mode("append").parquet(records_path)
+        # overwrite of a per-batch directory makes retries idempotent
+        # (plain append would duplicate a replayed batch)
+        records.write.mode("overwrite").parquet(
+            os.path.join(records_path, f"batch={batch_id}")
+        )
 
     src = pages_stream
     if dedup_watermark is not None:

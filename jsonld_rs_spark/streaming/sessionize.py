@@ -7,8 +7,18 @@ rows only when a session closes — so state size is O(active keys), never
 O(stream length).
 
 Semantics: events for a user belong to one session while consecutive events
-are ≤ ``gap`` apart (event time); a session is emitted when a later event
-breaks the gap, or at stream end via timeout/availableNow flush.
+are ≤ ``gap`` apart (event time). A session row is emitted when a later
+event breaks the gap, or when the key has been idle for the processing-time
+timeout (a continuous stream flushes stale sessions that way). Out-of-order
+events that land within ``gap`` of the open session extend it on either
+side. Caveats, by construction of the state model:
+
+* under ``trigger(availableNow=True)`` the query stops when input is
+  exhausted, BEFORE any processing-time timeout can fire — each user's
+  trailing open session stays in state and is NOT emitted;
+* an event older than the open session by more than ``gap`` starts a new
+  session and closes the old one — late data beyond the gap horizon is not
+  stitched retroactively (that would require keeping all sessions in state).
 """
 
 from __future__ import annotations
@@ -50,8 +60,10 @@ def _sessionize_group(
     for t in ts_list:
         if start is None:
             start, end, n = t, t, 1
-        elif t - end <= gap_us:
-            end, n = t, n + 1
+        elif start - gap_us <= t <= end + gap_us:
+            # merge, extending the session on either side (cross-batch
+            # late events must never move `end` backwards)
+            start, end, n = min(start, t), max(end, t), n + 1
         else:
             closed.append((start, end, n))
             start, end, n = t, t, 1
@@ -62,7 +74,9 @@ def _sessionize_group(
         state.remove()
     else:
         state.update((start, end, n))
-        state.setTimeoutDuration(60 * 1000)
+        # flush horizon = the event-time gap expressed in processing time:
+        # a key idle that long on the wall clock has its session sealed
+        state.setTimeoutDuration(max(gap_us // 1000, 1000))
 
     if closed:
         yield pd.DataFrame(
