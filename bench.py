@@ -75,10 +75,17 @@ def _run(fn, spark, sf_dir, trials: int = None):
     return best, n
 
 
-def kg_throughput(spark, sf_dir, replicate: int = 1, trials: int = 3):
+def kg_throughput(spark, sf_dir, replicate: int = None, trials: int = 3):
     """Median triples/sec of the extraction heart (pages → canonical triple
     rows). Input is materialized outside the timed window; ``replicate``
-    scales the page count so every core has meaningful work."""
+    scales the page count so every core has meaningful work.
+
+    Default replicate matches BASELINE.md's methodology (×32 → ≥4.5 s timed
+    windows on this box): at replicate=1 the timed stage is ~0.5 s and
+    job-fixed overhead dominates, under-reporting the engine ~7×. The
+    BENCH_r* headline must be comparable to the published baseline."""
+    if replicate is None:
+        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
     from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages
     from jsonld_rs_spark.pipeline.triples import extract_triples
 
@@ -109,7 +116,8 @@ def main() -> None:
         dt, _ = _run(queries[name], spark, SF_DIR)
         per_query[name] = round(dt, 3)
 
-    tps, n_triples, extract_sec = kg_throughput(spark, SF_DIR)
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
+    tps, n_triples, extract_sec = kg_throughput(spark, SF_DIR, replicate=replicate)
     result = {
         "metric": "kg_pipeline_headline_total",
         "value": round(sum(per_query.values()), 3),
@@ -125,6 +133,7 @@ def main() -> None:
         "triples_per_sec": round(tps, 1),
         "n_triples": n_triples,
         "extract_sec": round(extract_sec, 3),
+        "throughput_replicate": replicate,
         "cpus": CPUS,
     }
 

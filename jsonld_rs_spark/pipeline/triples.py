@@ -267,7 +267,21 @@ def extract_triples(pages_df, store: Optional[Dict[str, Any]] = None):
 
 def dedup_triples(triples_df):
     """Global triple dedup on triple identity (provenance url excluded);
-    SURVEY.md §2.2 'Distinct / dedup'. One shuffle on the full identity."""
-    return triples_df.dropDuplicates(
-        ["graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
+    SURVEY.md §2.2 'Distinct / dedup'. One shuffle on the full identity.
+
+    The surviving provenance url is the MIN url of the group, not an
+    arbitrary partition-order winner: identical triples are emitted from
+    many pages (entity sameAs blocks), and downstream assembly groups by
+    url — a run-order-dependent representative would make assembled
+    documents vary across runs. Same single shuffle as dropDuplicates
+    (hash agg on the identity key), just with a deterministic reducer."""
+    from pyspark.sql import functions as F
+
+    identity = [
+        "graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+    ]
+    return (
+        triples_df.groupBy(*identity)
+        .agg(F.min("url").alias("url"))
+        .select(*TRIPLE_COLUMNS)
     )

@@ -190,3 +190,24 @@ def test_latest_pages_tie_break_single_winner(spark):
     )
     out = latest_pages(pages).collect()
     assert len(out) == 1  # hash tie-break picks exactly one
+
+
+def test_dedup_triples_deterministic_representative(spark):
+    """Identical triples from many pages must keep a deterministic provenance
+    url (min), independent of partitioning/run order (ADVICE r1, medium)."""
+    rows = [
+        ("http://z.example/3", None, "http://s/1", "http://p/1", "iri", "http://o/1", None, None),
+        ("http://a.example/1", None, "http://s/1", "http://p/1", "iri", "http://o/1", None, None),
+        ("http://m.example/2", None, "http://s/1", "http://p/1", "iri", "http://o/1", None, None),
+        ("http://b.example/9", None, "http://s/2", "http://p/1", "lit", "x", "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    cols = ["url", "graph", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
+    schema = ", ".join(f"{c} string" for c in cols)
+    for perm in (rows, rows[::-1], rows[1:] + rows[:1]):
+        for nparts in (1, 3):
+            df = spark.createDataFrame(perm, schema).repartition(nparts)
+            got = {(r["subj"], r["url"]) for r in dedup_triples(df).collect()}
+            assert got == {
+                ("http://s/1", "http://a.example/1"),
+                ("http://s/2", "http://b.example/9"),
+            }
