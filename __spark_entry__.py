@@ -405,7 +405,17 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.dedup import minhash_dup_pairs
 
+    # production default: degenerate-bucket cap ON (oracle applies same cap)
     return minhash_dup_pairs(_t(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
+
+
+def minhash_capped_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side table of LSH buckets excluded by the production cap."""
+    from jsonld_rs_spark.ops.dedup import minhash_degenerate_buckets
+
+    return minhash_degenerate_buckets(_t(spark, sf_dir, "documents")).orderBy(
+        "band", "sig"
+    )
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_signatures_docs": minhash_signatures_docs,
         "minhash_dup_pairs_docs": minhash_dup_pairs_docs,
+        "minhash_capped_buckets_docs": minhash_capped_buckets_docs,
         "simhash_docs": simhash_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "word_counts_top20": word_counts_top20,
@@ -547,6 +558,28 @@ _MINHASH_SIG_COLS = ",\n  ".join(
     "list_min(list_transform(sh, s -> md5('b{b}|' || s))) AS sig{b}".format(b=b)
     for b in range(4)
 )
+
+# mirror of ops.dedup.MINHASH_MAX_BUCKET — the oracle applies the IDENTICAL
+# degenerate-bucket cap so the capped production operator is what's verified
+_MINHASH_CAP = 1000
+
+_MINHASH_EXPLODED_CTE = """
+        , sigs AS (
+          SELECT doc_id, {sig_cols}
+          FROM shingled
+        ), exploded AS (
+          SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs
+          UNION ALL SELECT doc_id, 1, sig1 FROM sigs
+          UNION ALL SELECT doc_id, 2, sig2 FROM sigs
+          UNION ALL SELECT doc_id, 3, sig3 FROM sigs
+        ), kept AS (
+          SELECT e.doc_id, e.band, e.sig
+          FROM exploded e
+          JOIN (SELECT band, sig FROM exploded
+                GROUP BY band, sig HAVING count(*) <= {cap}) k
+            ON e.band = k.band AND e.sig = k.sig
+        )
+""".format(sig_cols=_MINHASH_SIG_COLS, cap=_MINHASH_CAP)
 
 _SIMHASH_SUM_COLS = ",\n    ".join(
     f"sum((ascii(substr(md5(word), {b + 1}, 1)) % 2) * 2 - 1) AS s{b}" for b in range(16)
@@ -710,6 +743,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures_docs": _SHINGLES_CTE
         + f"SELECT doc_id,\n  {_MINHASH_SIG_COLS}\nFROM shingled ORDER BY doc_id",
         "minhash_dup_pairs_docs": _SHINGLES_CTE
+        + _MINHASH_EXPLODED_CTE
+        + """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+        """,
+        "minhash_capped_buckets_docs": _SHINGLES_CTE
         + f"""
         , sigs AS (
           SELECT doc_id, {_MINHASH_SIG_COLS}
@@ -720,10 +761,10 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT doc_id, 2, sig2 FROM sigs
           UNION ALL SELECT doc_id, 3, sig3 FROM sigs
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM exploded a JOIN exploded b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b
+        SELECT band, sig, count(*) AS n_docs
+        FROM exploded GROUP BY band, sig
+        HAVING count(*) > {_MINHASH_CAP}
+        ORDER BY band, sig
         """,
         "simhash_docs": f"""
             WITH words AS (
@@ -738,18 +779,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sums ORDER BY doc_id
         """,
         "ngram_jaccard_pairs_docs": _SHINGLES_CTE
-        + f"""
-        , sigs AS (
-          SELECT doc_id, {_MINHASH_SIG_COLS}
-          FROM shingled
-        ), exploded AS (
-          SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs
-          UNION ALL SELECT doc_id, 1, sig1 FROM sigs
-          UNION ALL SELECT doc_id, 2, sig2 FROM sigs
-          UNION ALL SELECT doc_id, 3, sig3 FROM sigs
-        ), pairs AS (
+        + _MINHASH_EXPLODED_CTE
+        + """
+        , pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM exploded a JOIN exploded b
+          FROM kept a JOIN kept b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         ), sets AS (
           SELECT doc_id, list_distinct(sh) AS s FROM shingled

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 MINHASH_BANDS = 4
 SIMHASH_BITS = 16
+# Production bucket cap: a signature shared by more than this many docs is a
+# degenerate bucket (boilerplate/empty docs) that would emit O(n²) pairs in
+# one shuffle partition at 100 TB. Capped buckets flow to a side table
+# (minhash_degenerate_buckets), never silently vanish.
+MINHASH_MAX_BUCKET = 1000
 
 
 def exact_dedup(docs: DataFrame, min_copies: int = 1) -> DataFrame:
@@ -73,24 +78,13 @@ def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame
     return spread(docs.select("doc_id", "text")).select("doc_id", *cols)
 
 
-def minhash_dup_pairs(
-    docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = 0
-) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ANY band signature.
-    Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
-    no all-pairs comparison ever happens.
-
-    Signatures are materialized once (localCheckpoint) so the self-join does
-    not recompute shingling+hashing on both sides — at warehouse scale this
-    is "write the signature table, then join it with itself".
-
-    ``max_bucket > 0`` activates the 100 TB guardrail: buckets larger than
-    the cap are degenerate (a signature shared by a huge slice of the
-    corpus emits O(n²) pairs — boilerplate pages, empty docs) and are
-    skipped. Capped buckets should be logged/queried separately; default 0
-    keeps exact semantics for the oracle gate."""
+def _exploded_band_sigs(docs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, sig) rows — the LSH shuffle key table. Signatures are
+    materialized once (localCheckpoint) so a self-join does not recompute
+    shingling+hashing on both sides — at warehouse scale this is "write the
+    signature table, then join it with itself"."""
     sigs = minhash_signatures(docs, bands).localCheckpoint()
-    exploded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -101,6 +95,38 @@ def minhash_dup_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def minhash_degenerate_buckets(
+    docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = MINHASH_MAX_BUCKET
+) -> DataFrame:
+    """Side table of (band, sig, n_docs) buckets EXCEEDING the cap — the
+    slice minhash_dup_pairs excludes. At 100 TB these are the boilerplate /
+    empty-doc signatures; they get triaged (e.g. exact-dedup first), not
+    silently dropped."""
+    return (
+        _exploded_band_sigs(docs, bands)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = MINHASH_MAX_BUCKET
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ANY band signature.
+    Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
+    no all-pairs comparison ever happens.
+
+    The 100 TB guardrail is ON by default: buckets larger than ``max_bucket``
+    are degenerate (a signature shared by a huge slice of the corpus emits
+    O(|bucket|²) pairs in a single shuffle partition — boilerplate pages,
+    empty docs) and are excluded here; query them via
+    ``minhash_degenerate_buckets`` (same cap) instead. The DuckDB oracle twin
+    applies the identical cap, so the capped operator IS the verified one.
+    ``max_bucket=0`` disables the cap (exact all-candidate semantics)."""
+    exploded = _exploded_band_sigs(docs, bands)
     if max_bucket > 0:
         sizes = (
             exploded.groupBy("band", "sig")

@@ -163,3 +163,50 @@ def test_shingles_survive_short_docs(spark):
     rows = {r["doc_id"]: r for r in minhash_signatures(short).collect()}
     assert len(rows) == 3  # no ANSI element_at crash
     assert rows[1]["sig0"] is not None
+
+
+def test_spread_refuses_unprobed_wide_plans(spark):
+    """Regression for the AQE probe trap (VERDICT r1 #9): spread() must not
+    probe partition counts above a shuffle; persisted or explicitly-sized
+    inputs are the two sanctioned paths."""
+    import pytest as _pytest
+
+    from jsonld_rs_spark.util import spread
+
+    scan = spark.range(100).toDF("doc_id")
+    assert spread(scan) is not None  # scan-rooted: probe allowed
+
+    wide = scan.groupBy("doc_id").count()
+    with _pytest.raises(ValueError, match="shuffle-introducing"):
+        spread(wide)
+
+    # explicit count: no probe, no raise
+    assert spread(wide, expected_partitions=8) is not None
+
+    # materialized inputs are safe to probe
+    ck = wide.localCheckpoint()
+    assert spread(ck) is not None
+    cached = wide.cache()
+    try:
+        cached.count()
+        assert spread(cached.select("doc_id")) is not None
+    finally:
+        cached.unpersist()
+
+
+def test_minhash_degenerate_corpus_bounded(spark):
+    """1k identical docs: the production default must NOT emit the O(n²)
+    pair explosion; the excluded buckets land in the side table instead."""
+    from jsonld_rs_spark.ops.dedup import minhash_degenerate_buckets, minhash_dup_pairs
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text here").alias("text")
+    )
+    pairs = minhash_dup_pairs(docs, max_bucket=100)  # all 4 buckets degenerate
+    assert pairs.count() == 0
+    side = minhash_degenerate_buckets(docs, max_bucket=100).collect()
+    assert len(side) == 4 and all(r["n_docs"] == 1000 for r in side)
+    # uncapped twin (oracle semantics) would have been ~500k pairs — prove
+    # the cap is what bounds it, on a slice small enough to run
+    small = docs.filter(F.col("doc_id") < 60)
+    assert minhash_dup_pairs(small, max_bucket=0).count() == 60 * 59 // 2
