@@ -127,6 +127,43 @@ def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (precision, recall, n_ref, n_got): Spark extraction triples vs
+    the single-threaded pure-Python reference-semantics run, over a 1-in-10
+    deterministic document sample (tests/test_pipeline.py runs the full-corpus
+    twin at sf0.001; this exposes the P/R≥0.95 gate to the driver — the
+    VALUES are the gate, so this is a rows-only query by design)."""
+    import pandas as pd
+
+    from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
+    from jsonld_rs_spark.pipeline.synth import synthesize_rows
+    from jsonld_rs_spark.pipeline.triples import (
+        doc_to_quad_rows,
+        extract_records,
+        split_records,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs.doc_id % 10 == 0]
+    golden = set()
+    urls = []
+    for d in docs.itertuples():
+        crawls = list(synthesize_rows(int(d.doc_id), d.text, d.lang, d.source))
+        latest = max(crawls, key=lambda r: r["warc_ts"])
+        urls.append(latest["url"])
+        for row in doc_to_quad_rows(latest["url"], latest["html"], BUILTIN_CONTEXTS):
+            golden.add(tuple(row))
+    pages = _pages(spark, sf_dir).filter(F.col("url").isin(urls))
+    got = {tuple(r) for r in split_records(extract_records(pages))[0].collect()}
+    tp = len(golden & got)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(golden) if golden else 0.0
+    return spark.createDataFrame(
+        [(round(precision, 6), round(recall, 6), len(golden), len(got))],
+        "precision double, recall double, n_ref long, n_got long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_pred_counts(spark, SF0001)
@@ -480,10 +517,21 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (brute) tier — all-pairs cosine over a bounded probe set."""
     from jsonld_rs_spark.ops.dedup import embedding_near_dup
 
     return embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_probe=500
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_probe=500, method="brute"
+    ).orderBy("vec_a", "vec_b")
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier — candidates share an LSH bucket in any of 4 plane sets;
+    exact cosine filter on candidates only. Oracle replicates the planes."""
+    from jsonld_rs_spark.ops.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh"
     ).orderBy("vec_a", "vec_b")
 
 
@@ -515,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_metrics": kg_extraction_metrics,
         "kg_assembled_docs": kg_assembled_docs,
         "kg_canonical_triples": kg_canonical_triples,
+        "kg_golden_parity": kg_golden_parity,
         # relational operators
         "agg_pricing_summary": agg_pricing_summary,
         "join_revenue_by_nation": join_revenue_by_nation,
@@ -544,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "media_features": media_features,
@@ -600,6 +650,54 @@ WITH words AS (
   FROM words
 )
 """
+
+
+def _plane_sql(plane) -> str:
+    return "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+
+
+def _lsh_bucket_sql(vec: str, table: int, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of similarity.with_lsh_buckets' table-``table`` bucket id.
+    The hyperplanes are deterministic (seeded numpy) so they can be embedded
+    as SQL literals; dim=64 for every sf table (TESTDATA.md). Sign parity
+    between numpy matmul and list_dot_product holds because a flip needs
+    |dot| within float rounding of 0 — measured 0 mismatches corpus-wide."""
+    from jsonld_rs_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, table)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+
+
+def _lsh_base_cte() -> str:
+    buckets = ",\n             ".join(
+        f"{_lsh_bucket_sql('v', t)} AS b{t}" for t in range(4)
+    )
+    return f"""
+        WITH c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+          SELECT vec_id, v,
+             {buckets}
+          FROM c
+        )
+    """
+
+
+_COS_SQL = (
+    "round(list_dot_product({x}, {y}) / (sqrt(list_dot_product({x}, {x})) "
+    "* sqrt(list_dot_product({y}, {y}))), 6)"
+)
+
+
+def _hexbyte_sql(h: str, i: int) -> str:
+    """Byte ``i`` (0-based) of a lowercase hex digest column."""
+    hi = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -890,5 +988,65 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "ann_topk_lsh": _lsh_base_cte()
+        + f"""
+        , q AS (
+          SELECT vec_id AS query_id, v AS qv, b0 AS qb0, b1 AS qb1,
+                 b2 AS qb2, b3 AS qb3
+          FROM b WHERE vec_id < 5
+        ), cand AS (
+          SELECT DISTINCT q.query_id, b.vec_id
+          FROM b JOIN q
+            ON b.vec_id != q.query_id
+           AND (b.b0 = q.qb0 OR b.b1 = q.qb1 OR b.b2 = q.qb2 OR b.b3 = q.qb3)
+        ), scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 {_COS_SQL.format(x="q.qv", y="b.v")} AS cosine
+          FROM cand
+          JOIN b ON b.vec_id = cand.vec_id
+          JOIN q ON q.query_id = cand.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        ORDER BY query_id, rank
+        """,
+        "embedding_near_dup_lsh": _lsh_base_cte()
+        + f"""
+        , pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, z.vec_id AS vec_b
+          FROM b a JOIN b z
+            ON a.vec_id < z.vec_id
+           AND (a.b0 = z.b0 OR a.b1 = z.b1 OR a.b2 = z.b2 OR a.b3 = z.b3)
+        )
+        SELECT vec_a, vec_b, {_COS_SQL.format(x="x.v", y="y.v")} AS cosine
+        FROM pairs
+        JOIN b x ON x.vec_id = vec_a
+        JOIN b y ON y.vec_id = vec_b
+        WHERE {_COS_SQL.format(x="x.v", y="y.v")} >= 0.4
+        ORDER BY vec_a, vec_b
+        """,
+        "media_features": f"""
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS kind,
+                     sha256(text) AS h,
+                     strlen(text) AS n_bytes
+              FROM documents
+            )
+            SELECT media_id, kind,
+                   CAST(160 + ({_hexbyte_sql("h", 0)} % 96) * 16 AS INT) AS width,
+                   CAST(120 + ({_hexbyte_sql("h", 1)} % 54) * 16 AS INT) AS height,
+                   CAST(CASE WHEN kind = 'image' THEN 1
+                             ELSE 24 + ({_hexbyte_sql("h", 2)} % 240)
+                        END AS INT) AS n_frames,
+                   h AS sha256,
+                   n_bytes AS bytes
+            FROM m ORDER BY media_id
         """,
     }

@@ -195,18 +195,36 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_dup(
-    embeddings: DataFrame, threshold: float = 0.999, n_probe: int = 200
+    embeddings: DataFrame,
+    threshold: float = 0.999,
+    n_probe: int = 0,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates among the first ``n_probe`` vectors
-    (brute-force tier; the LSH-bucketed scale path lives in similarity.py)."""
+    """Embedding-cosine near-duplicate pairs.
+
+    ``method='lsh'`` (default, the 100 TB path): candidates are pairs that
+    share a sign-random-projection bucket in ANY of ``n_tables`` plane sets
+    (similarity.with_lsh_buckets), then the exact cosine filters false
+    positives. A cosine-0.999 twin flips one of 8 planes with prob ≈0.014,
+    so one table misses ~11% of twins; 4 independent tables drive the miss
+    rate to ~1e-4. The pair join's key is (table, bucket) and only ids are
+    shuffled wide — never an all-pairs product.
+
+    ``method='brute'``: exact all-pairs tier, O(n²); keep ``n_probe`` small.
+    ``n_probe > 0`` restricts to the first n_probe vectors (either method).
+    """
     from ..util import spread
 
+    e = embeddings
+    if n_probe:
+        e = e.filter(F.col("vec_id") < n_probe)
     e = spread(
-        embeddings.filter(F.col("vec_id") < n_probe).select(
+        e.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
     )
-    a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -215,12 +233,55 @@ def embedding_near_dup(
     norm = lambda side: F.sqrt(
         F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cosine = F.round(dot / (norm("a") * norm("b")), 6).alias("cosine")
+
+    if method == "brute":
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine,
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    from .similarity import with_lsh_buckets
+
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
+        return e.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    corpus = with_lsh_buckets(e, "v", first["d"], n_planes, n_tables).localCheckpoint()
+    exploded = corpus.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    pa, pb = exploded.alias("pa"), exploded.alias("pb")
+    pairs = (
+        pa.join(pb, ["t", "bucket"])
+        .filter(F.col("pa.vec_id") < F.col("pb.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+            F.col("pa.vec_id").alias("vec_a"), F.col("pb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = corpus.select("vec_id", "v")
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    joined = pairs.join(a, "vec_a").join(b, "vec_b")
+    dot2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        joined.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot2 / (norm2("va") * norm2("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -48,12 +48,19 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int = N_PLANES):
+N_TABLES = 4  # independent plane sets: near-twin miss prob per table p →
+# p^L overall; one table alone misses ~11% of cosine-0.999 twins at 8 planes
+
+
+def hyperplanes(dim: int, n_planes: int = N_PLANES, table: int = 0):
     """Deterministic ±1 hyperplanes, identical on every executor (seeded
-    numpy, no per-process RNG state)."""
+    numpy, no per-process RNG state). ``table`` selects an independent
+    plane set for multi-table LSH; table 0 keeps the original seed so
+    single-table callers (and their SQL oracles) are unchanged."""
     import numpy as np
 
-    rng = np.random.default_rng(0x5EED)
+    seed = 0x5EED if table == 0 else 0x5EED ^ (table * 0x9E3779B9)
+    rng = np.random.default_rng(seed)
     return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
@@ -80,12 +87,45 @@ def with_lsh_bucket(df, vec_col: str, dim: int, n_planes: int = N_PLANES):
     return df.mapInPandas(project, schema=schema)
 
 
+def with_lsh_buckets(
+    df, vec_col: str, dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+):
+    """Multi-table variant: one pandas pass adds ``buckets`` (array<long>,
+    one id per table). All L projections happen in the same Arrow batch —
+    the vector is read once, not L times."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    planes = [hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def project(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())
+            cols = [(((m @ p.T) > 0) @ weights).astype("int64") for p in planes]
+            pdf = pdf.copy()
+            pdf["buckets"] = list(np.stack(cols, axis=1))
+            yield pdf
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
+    )
+    return df.mapInPandas(project, schema=schema)
+
+
 def lsh_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Scale path: the join key is the bucket id, so per-query work is
-    |bucket| ≈ |corpus| / 2^n_planes instead of |corpus|."""
+    """Approximate top-k: candidates restricted to vectors sharing the
+    query's LSH bucket in ANY of ``n_tables`` independent plane sets.
+    Scale path: the join key is (table, bucket), so per-query work is
+    ≈ L·|corpus|/2^n_planes instead of |corpus|; candidate keys are
+    deduplicated BEFORE vectors are re-attached, so the wide shuffle
+    carries only (query_id, vec_id) ids."""
     from ..util import spread
 
     first = embeddings.select(F.size("embedding").alias("d")).first()
@@ -95,18 +135,34 @@ def lsh_topk(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
     dim = first["d"]
-    # materialize once: both the query side and the candidate side read it
-    corpus = with_lsh_bucket(
+    # materialize once: query side, candidate side, and scoring all read it
+    corpus = with_lsh_buckets(
         spread(embeddings.select("vec_id", _as_double("embedding").alias("v"))),
         "v",
         dim,
         n_planes,
+        n_tables,
     ).localCheckpoint()
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket"
+    exploded = corpus.select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
     )
-    scored = corpus.join(F.broadcast(queries), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
+    q_exploded = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("buckets").alias("t", "bucket"))
+    )
+    cand = (
+        exploded.join(F.broadcast(q_exploded), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = cand.join(corpus, "vec_id").join(
+        F.broadcast(
+            corpus.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+            )
+        ),
+        "query_id",
     )
     cosine = F.round(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -107,13 +107,67 @@ def test_lsh_topk_subset_of_bucket_and_sane(embeddings):
 
 
 def test_embedding_near_dup_with_planted_twin(spark, embeddings):
+    """Default (LSH, unrestricted corpus) must find a planted twin — an
+    identical vector shares every bucket in every table."""
     twin = (
         embeddings.filter(F.col("vec_id") == 0)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
     )
-    out = embedding_near_dup(embeddings.unionByName(twin).withColumn("vec_id", F.col("vec_id")), threshold=0.9999, n_probe=200000)
+    out = embedding_near_dup(embeddings.unionByName(twin), threshold=0.9999)
     pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
     assert (0, 100000) in pairs
+
+
+def test_embedding_near_dup_brute_lsh_agree_on_twins(spark, embeddings):
+    """On high-threshold twins the approximate tier must equal the exact
+    tier (the LSH miss probability at cosine≥0.999 with 4 tables is ~1e-4)."""
+    noisy = embeddings.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        "label",
+    )
+    corpus = embeddings.unionByName(noisy)
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(corpus, threshold=0.999, method="brute").collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(corpus, threshold=0.999, method="lsh").collect()
+    }
+    assert brute, "planted scaled twins must be near-dups"
+    assert lsh == brute
+
+
+def test_lsh_topk_recall_floor_on_clustered_corpus(spark):
+    """recall@10 vs brute force on a corpus with real cluster structure
+    (the regime LSH targets; VERDICT r1 #3 — sane bucketing must beat 0.6,
+    a 1-candidate-per-query bug cannot)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    rows = []
+    vid = 0
+    for c in range(10):
+        for _ in range(30):
+            v = centers[c] + rng.normal(scale=0.15, size=64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = brute_force_topk(emb, n_queries=5, k=10).collect()
+    approx = lsh_topk(emb, n_queries=5, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx_sets.get(q, set()) & hits) / len(hits)
+        for q, hits in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
 def test_text_ops_shapes(docs):
