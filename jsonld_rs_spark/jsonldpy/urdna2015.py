@@ -128,12 +128,33 @@ class _Canonicalizer:
         for graph, quad in self.bnode_quads.get(identifier, []):
             self._spend()
             bmap = {}
-            for term in (quad.subj, quad.obj_value if quad.obj_kind == "id" else None, graph):
+            # quad.pred included OFF-SPEC: RDF-canon only substitutes node
+            # positions, but this engine admits generalized quads (blank
+            # predicates, nodemap relabeling) — without the substitution the
+            # raw input label would leak into the hash and make canonical
+            # labels depend on DefaultNodeGenerator numbering instead of
+            # content. A predicate-ONLY blank label still keeps its input
+            # label in the output (see canonicalize_dataset) and is not an
+            # n-degree related term; two structurally different blank
+            # predicates can thus collapse to one hash — acceptable for the
+            # generalized-RDF corner, documented here.
+            for term in (
+                quad.subj,
+                quad.pred,
+                quad.obj_value if quad.obj_kind == "id" else None,
+                graph,
+            ):
                 if term is not None and is_blank(term):
                     bmap[term] = "_:a" if term == identifier else "_:z"
             lines.append(nquad_line(graph, quad, bmap))
         lines.sort()
-        digest = hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
+        # spec-exact digest input: each canonical N-Quads line is newline-
+        # TERMINATED (rdf-canon §4.6 step 5 concatenates serialized quads,
+        # and canonical N-Quads lines end in "\n") — a separator join would
+        # produce different hashes than conformant implementations
+        digest = hashlib.sha256(
+            "".join(line + "\n" for line in lines).encode("utf-8")
+        ).hexdigest()
         self._fdh_cache[identifier] = digest
         return digest
 

@@ -1,0 +1,202 @@
+"""Generator for the rdf-canon conformance fixtures (tests/fixtures/canon).
+
+PROVENANCE: expected outputs come from tools/canon_independent.py — a
+clean-room transcription of the W3C RDF Dataset Canonicalization spec,
+sharing NO code with jsonld_rs_spark.jsonldpy.urdna2015 — so these fixtures
+cross-check the engine against an independent derivation of the spec
+(ADVICE r1: self-generated fixtures can't catch a shared systematic bug).
+
+Quads are stored in the manifest as 7-tuples
+(graph, subj, pred, obj_kind, obj_value, obj_datatype, obj_lang) with
+graph="@default" for the default graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from tools.canon_independent import canonicalize  # noqa: E402
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "canon")
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _token(term: str) -> str:
+    return term if term.startswith("_:") else f"<{term}>"
+
+
+def _obj_token(kind, value, dt, lang):
+    if kind == "id":
+        return _token(value)
+    lex = (
+        '"'
+        + value.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        + '"'
+    )
+    if dt == LANGSTR and lang:
+        return lex + "@" + lang
+    if dt and dt != XSD + "string":
+        return lex + "^^<" + dt + ">"
+    return lex
+
+
+def _tokens(quads):
+    return [
+        (
+            _token(s),
+            _token(p),
+            _obj_token(k, v, dt, lang),
+            None if g == "@default" else _token(g),
+        )
+        for (g, s, p, k, v, dt, lang) in quads
+    ]
+
+
+P, Q, R = "http://e/p", "http://e/q", "http://e/r"
+
+CASES = [
+    (
+        "c0001",
+        "no blank nodes: sorted passthrough incl. named graph",
+        [
+            ("@default", "http://e/s", P, "lit", "v", None, None),
+            ("@default", "http://e/s", Q, "id", "http://e/o", None, None),
+            ("http://e/g", "http://e/s", P, "lit", "w", None, None),
+        ],
+    ),
+    (
+        "c0002",
+        "single blank node",
+        [("@default", "_:e0", P, "lit", "v", None, None)],
+    ),
+    (
+        "c0003",
+        "two blank nodes distinguished by first-degree hash",
+        [
+            ("@default", "_:e0", P, "lit", "a", None, None),
+            ("@default", "_:e1", Q, "lit", "b", None, None),
+        ],
+    ),
+    (
+        "c0004",
+        "symmetric 2-cycle needs n-degree hashing",
+        [
+            ("@default", "_:e0", R, "id", "_:e1", None, None),
+            ("@default", "_:e1", R, "id", "_:e0", None, None),
+        ],
+    ),
+    (
+        "c0005",
+        "3-cycle",
+        [
+            ("@default", "_:e0", R, "id", "_:e1", None, None),
+            ("@default", "_:e1", R, "id", "_:e2", None, None),
+            ("@default", "_:e2", R, "id", "_:e0", None, None),
+        ],
+    ),
+    (
+        "c0006",
+        "two disjoint isomorphic 2-cycles",
+        [
+            ("@default", "_:a0", R, "id", "_:a1", None, None),
+            ("@default", "_:a1", R, "id", "_:a0", None, None),
+            ("@default", "_:b0", R, "id", "_:b1", None, None),
+            ("@default", "_:b1", R, "id", "_:b0", None, None),
+        ],
+    ),
+    (
+        "c0007",
+        "chain of four blank nodes",
+        [
+            ("@default", "_:e0", R, "id", "_:e1", None, None),
+            ("@default", "_:e1", R, "id", "_:e2", None, None),
+            ("@default", "_:e2", R, "id", "_:e3", None, None),
+            ("@default", "_:e3", P, "lit", "end", None, None),
+        ],
+    ),
+    (
+        "c0008",
+        "blank node as graph label and as subject inside it",
+        [
+            ("_:g0", "_:e0", P, "lit", "v", None, None),
+            ("@default", "_:g0", Q, "lit", "meta", None, None),
+        ],
+    ),
+    (
+        "c0009",
+        "one blank label used in default graph and as graph name",
+        [
+            ("@default", "_:e0", P, "id", "_:e1", None, None),
+            ("_:e1", "http://e/s", Q, "lit", "in-graph", None, None),
+        ],
+    ),
+    (
+        "c0010",
+        "literal payloads: lang tags, datatypes, escapes",
+        [
+            ("@default", "_:e0", P, "lit", "Katze", LANGSTR, "de"),
+            ("@default", "_:e0", P, "lit", "42", XSD + "integer", None),
+            ("@default", "_:e1", P, "lit", 'say "hi"\nline', None, None),
+        ],
+    ),
+    (
+        "c0011",
+        "hub with three automorphic leaves (permutation search)",
+        [
+            ("@default", "_:h", R, "id", "_:l0", None, None),
+            ("@default", "_:h", R, "id", "_:l1", None, None),
+            ("@default", "_:h", R, "id", "_:l2", None, None),
+            ("@default", "_:h", P, "lit", "hub", None, None),
+        ],
+    ),
+    (
+        "c0012",
+        "diamond: one source, two mid nodes, one sink",
+        [
+            ("@default", "_:a", R, "id", "_:b", None, None),
+            ("@default", "_:a", R, "id", "_:c", None, None),
+            ("@default", "_:b", R, "id", "_:d", None, None),
+            ("@default", "_:c", R, "id", "_:d", None, None),
+            ("@default", "_:b", P, "lit", "left", None, None),
+        ],
+    ),
+]
+
+
+def main() -> None:
+    os.makedirs(HERE, exist_ok=True)
+    manifest = []
+    for cid, name, quads in CASES:
+        expect = canonicalize(_tokens(quads))
+        with open(os.path.join(HERE, f"{cid}-out.nq"), "w") as f:
+            f.write(expect)
+        manifest.append(
+            {"@id": f"#{cid}", "name": name, "quads": quads, "expect": f"{cid}-out.nq"}
+        )
+        print(f"== {cid}: {name}\n{expect}")
+    with open(os.path.join(HERE, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "name": "rdf-canon cross-check fixtures",
+                "provenance": (
+                    "expected outputs generated by tools/canon_independent.py, a "
+                    "clean-room spec transcription independent of jsonldpy"
+                ),
+                "sequence": manifest,
+            },
+            f,
+            indent=1,
+        )
+
+
+if __name__ == "__main__":
+    main()

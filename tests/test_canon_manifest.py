@@ -1,0 +1,60 @@
+"""rdf-canon conformance: jsonldpy.urdna2015 vs an INDEPENDENT clean-room
+spec implementation (fixture provenance: tools/canon_independent.py — see
+tests/fixtures/make_canon_fixtures.py). Also asserts the work-budget
+quarantine path on a poison graph and isomorphism invariance per fixture."""
+
+import json
+import os
+
+import pytest
+
+from jsonld_rs_spark.jsonldpy import errors as E
+from jsonld_rs_spark.jsonldpy.rdf import Quad
+from jsonld_rs_spark.jsonldpy.urdna2015 import canonical_nquads
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "canon")
+
+with open(os.path.join(HERE, "manifest.json")) as f:
+    MANIFEST = json.load(f)
+
+
+def _dataset(quads, relabel=None):
+    ds = {}
+    for g, s, p, k, v, dt, lang in quads:
+        if relabel:
+            g, s, p = (relabel.get(t, t) for t in (g, s, p))
+            if k == "id":
+                v = relabel.get(v, v)
+        ds.setdefault(g, []).append(Quad(s, p, k, v, dt, lang))
+    return ds
+
+
+@pytest.mark.parametrize("case", MANIFEST["sequence"], ids=lambda c: c["@id"])
+def test_canon_matches_independent_impl(case):
+    with open(os.path.join(HERE, case["expect"])) as f:
+        expected = f.read()
+    quads = [tuple(q) for q in case["quads"]]
+    assert canonical_nquads(_dataset(quads)) == expected, case["name"]
+
+    # isomorphism invariance: permute every blank label, same output
+    blanks = sorted(
+        {t for q in quads for t in (q[0], q[1], q[4] if q[3] == "id" else "")
+         if t.startswith("_:")}
+    )
+    relabel = {b: f"_:perm{len(blanks) - i}" for i, b in enumerate(blanks)}
+    assert canonical_nquads(_dataset(quads, relabel)) == expected, case["name"]
+
+
+def test_poison_clique_hits_work_budget():
+    n = 8
+    ds = {
+        "@default": [
+            Quad(f"_:n{i}", "http://e/r", "id", f"_:n{j}", None, None)
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        ]
+    }
+    with pytest.raises(E.JsonLdError) as ei:
+        canonical_nquads(ds, work_budget=20_000)
+    assert ei.value.code == E.CANON_TOO_COMPLEX

@@ -92,3 +92,21 @@ def test_bucket_partition_pruning(spark, pages, tmp_path_factory):
     assert pruned.select("bucket").distinct().collect() == [
         spark.createDataFrame([(3,)], "bucket int").collect()[0]
     ]
+
+
+def test_write_triples_capability_fallback(spark, tmp_path):
+    """No Iceberg catalog in the sandbox → parquet fallback is chosen and
+    carries the same bucket layout; the detector must not misfire on
+    ordinary spark confs."""
+    from jsonld_rs_spark.pipeline.materialize import iceberg_catalog, write_triples
+
+    assert iceberg_catalog(spark) is None
+    df = spark.createDataFrame(
+        [("u", None, "http://s/1", "http://p", "iri", "http://o", None, None)],
+        "url string, graph string, subj string, pred string, obj_kind string,"
+        " obj_value string, obj_datatype string, obj_lang string",
+    )
+    out = str(tmp_path / "triples")
+    assert write_triples(df, out, buckets=4) == "parquet"
+    back = spark.read.parquet(out)
+    assert back.select("bucket").distinct().count() == 1  # layout present

@@ -81,3 +81,22 @@ def test_canonicalization_distinguishes_non_isomorphic(seed):
     b = canonical_nquads({"@default": quads + [extra]})
     assert a != b
     assert "unique-extra" in b and "unique-extra" not in a
+
+
+def test_blank_predicate_labels_content_derived():
+    """Generalized quads: canonical labels of NODE bnodes must not depend on
+    the input label of a blank PREDICATE (ADVICE r1 — off-spec substitution
+    of the predicate position in first-degree hashes)."""
+    from jsonld_rs_spark.jsonldpy.rdf import Quad
+    from jsonld_rs_spark.jsonldpy.urdna2015 import canonical_labels
+
+    def labels(predlabel):
+        quads = [
+            ("@default", Quad("_:x", predlabel, "id", "_:y", None, None)),
+            ("@default", Quad("_:y", "http://e/p", "lit", "1", None, None)),
+            ("@default", Quad("_:x", "http://e/q", "lit", "2", None, None)),
+        ]
+        m = canonical_labels(quads)
+        return (m["_:x"], m["_:y"])
+
+    assert labels("_:p0") == labels("_:zzz9")
