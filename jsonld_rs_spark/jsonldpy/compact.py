@@ -445,7 +445,7 @@ def _compact(
                             ]
                         compacted_item = m
                     elif item_active_property in result:
-                        raise E.CompactionError("compaction_to_list_of_lists")
+                        raise E.CompactionError(E.COMPACTION_TO_LIST_OF_LISTS)
 
                 if container in ("@language", "@index"):
                     map_object = result.setdefault(item_active_property, {})

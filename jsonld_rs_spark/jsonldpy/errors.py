@@ -81,5 +81,7 @@ EXPECTED_STRING = "expected_string"
 CONFLICTING_INDEX_VALUES = "conflicting_index_values"
 INVALID_OBJECT = "invalid_object"
 
+COMPACTION_TO_LIST_OF_LISTS = "compaction_to_list_of_lists"
+
 CANON_TOO_COMPLEX = "canonicalization_too_complex"
 JSON_PARSE_ERROR = "json_parse_error"

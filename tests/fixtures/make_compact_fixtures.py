@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from jsonld_rs_spark.jsonldpy.compact import compact_document  # noqa: E402
+from jsonld_rs_spark.jsonldpy import errors as E  # noqa: E402
 
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "compact")
 BASE = "https://w3c.example/tests/"
@@ -165,6 +166,476 @@ CASES = [
         {"@context": {"@language": "en", "@vocab": "http://ex.example/"}},
         {},
     ),
+    # ---- round-2 widening (VERDICT r1 #6): keyword aliases, term selection,
+    # reverse/list/index composition, @vocab type coercion, graph handling.
+    (
+        "t0013",
+        "keyword aliases appear in compacted output",
+        {
+            "@id": "http://e/x",
+            "@type": ["http://e/T"],
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"id": "@id", "type": "@type", "@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0014",
+        "single @type unwraps from array under compactArrays",
+        {"@id": "http://e/x", "@type": ["http://e/OnlyOne"]},
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0015",
+        "multiple @type values stay an array of compacted terms",
+        {"@id": "http://e/x", "@type": ["http://e/A", "http://e/B"]},
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0016",
+        "@reverse without a reverse term keeps the @reverse block, keys compacted",
+        {
+            "@id": "http://e/x",
+            "@reverse": {"http://e/parentOf": [{"@id": "http://e/y"}]},
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0017",
+        "forward and reverse uses of one IRI route independently",
+        {
+            "@id": "http://e/x",
+            "http://e/parentOf": [{"@id": "http://e/down"}],
+            "@reverse": {"http://e/parentOf": [{"@id": "http://e/up"}]},
+        },
+        {
+            "@context": {
+                "parentOf": "http://e/parentOf",
+                "childOf": {"@reverse": "http://e/parentOf"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0019",
+        "@index container groups multiple values per index key",
+        {
+            "@id": "http://e/x",
+            "http://e/post": [
+                {"@value": "one-a", "@index": "a"},
+                {"@value": "two-a", "@index": "a"},
+                {"@value": "one-b", "@index": "b"},
+            ],
+        },
+        {"@context": {"post": {"@id": "http://e/post", "@container": "@index"}}},
+        {},
+    ),
+    (
+        "t0020",
+        "exact term beats compact IRI for the same absolute IRI",
+        {
+            "@id": "http://e/ns#x",
+            "http://e/ns#prop": [{"@value": "v"}],
+        },
+        {"@context": {"ns": "http://e/ns#", "myProp": "http://e/ns#prop"}},
+        {},
+    ),
+    (
+        "t0021",
+        "@vocab-relative suffix used when no term matches",
+        {
+            "@id": "http://e/x",
+            "http://v.example/sub/deep": [{"@value": "v"}],
+        },
+        {"@context": {"@vocab": "http://v.example/"}},
+        {},
+    ),
+    (
+        "t0022",
+        "@id values never compact base-relative (reference parity)",
+        {
+            "@id": "https://w3c.example/tests/t0022-in.jsonld#frag",
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0023",
+        "@index without an index container survives on the value object",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "v", "@index": "k"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0024",
+        "empty context object leaves IRIs absolute",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {}},
+        {},
+    ),
+    (
+        "t0025",
+        "native scalars compact bare",
+        {
+            "@id": "http://e/x",
+            "http://e/n": [{"@value": 42}],
+            "http://e/d": [{"@value": 4.5}],
+            "http://e/b": [{"@value": True}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0026",
+        "typed value without coercing term keeps @value form, @type compacted",
+        {
+            "@id": "http://e/x",
+            "http://e/born": [
+                {"@value": "1990-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"}
+            ],
+        },
+        {"@context": {"@vocab": "http://e/", "xsd": "http://www.w3.org/2001/XMLSchema#"}},
+        {},
+    ),
+    (
+        "t0027",
+        "named graph node: @graph content compacts recursively",
+        {
+            "@id": "http://e/g",
+            "http://e/meta": [{"@value": "m"}],
+            "@graph": [{"@id": "http://e/in", "http://e/p": [{"@value": "v"}]}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0028",
+        "reverse term with @container @index rebuilds the index map",
+        {
+            "@id": "http://e/x",
+            "@reverse": {
+                "http://e/childOf": [
+                    {"@id": "http://e/kid1", "@index": "a"},
+                    {"@id": "http://e/kid2", "@index": "b"},
+                ]
+            },
+        },
+        {
+            "@context": {
+                "parentOf": {"@reverse": "http://e/childOf", "@container": "@index"}
+            }
+        },
+        {},
+    ),
+    (
+        "t0029",
+        "language-specific terms capture matching tagged values",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [
+                {"@value": "cat", "@language": "en"},
+                {"@value": "Katze", "@language": "de"},
+            ],
+        },
+        {
+            "@context": {
+                "labelEn": {"@id": "http://e/label", "@language": "en"},
+                "labelDe": {"@id": "http://e/label", "@language": "de"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0030",
+        "@container @set keeps singletons as arrays despite compactArrays",
+        {
+            "@id": "http://e/x",
+            "http://e/many": [{"@value": "only"}],
+        },
+        {"@context": {"many": {"@id": "http://e/many", "@container": "@set"}}},
+        {},
+    ),
+    (
+        "t0031",
+        "list term with @type:@id coercion renders IRI strings inside the list",
+        {
+            "@id": "http://e/x",
+            "http://e/chain": [
+                {"@list": [{"@id": "http://e/a"}, {"@id": "http://e/b"}]}
+            ],
+        },
+        {
+            "@context": {
+                "chain": {
+                    "@id": "http://e/chain",
+                    "@container": "@list",
+                    "@type": "@id",
+                }
+            }
+        },
+        {},
+    ),
+    (
+        "t0032",
+        "multiple reverse values collect as an array on the reverse term",
+        {
+            "@id": "http://e/x",
+            "@reverse": {
+                "http://e/parentOf": [
+                    {"@id": "http://e/y"},
+                    {"@id": "http://e/z"},
+                ]
+            },
+        },
+        {"@context": {"childOf": {"@reverse": "http://e/parentOf"}}},
+        {},
+    ),
+    (
+        "t0033",
+        "blank node identifiers pass through compaction",
+        {
+            "@id": "_:b0",
+            "http://e/p": [{"@id": "_:b1"}],
+        },
+        {"@context": {"@vocab": "http://e/", "p": {"@id": "http://e/p", "@type": "@id"}}},
+        {},
+    ),
+    (
+        "t0034",
+        "mixed literals and node refs under an uncoerced term",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "lit"}, {"@id": "http://e/y"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0035",
+        "term @language beats default @language at value selection",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [{"@value": "Katze", "@language": "de"}],
+        },
+        {
+            "@context": {
+                "@language": "en",
+                "label": {"@id": "http://e/label", "@language": "de"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0036",
+        "shortest term name wins among equivalent candidates",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"aLongName": "http://e/p", "pq": "http://e/p"}},
+        {},
+    ),
+    (
+        "t0037",
+        "@type IRIs compact through terms, then CURIEs",
+        {
+            "@id": "http://e/x",
+            "@type": ["http://e/ns#Known", "http://e/ns#Other"],
+        },
+        {"@context": {"Known": "http://e/ns#Known", "ns": "http://e/ns#"}},
+        {},
+    ),
+    (
+        "t0038",
+        "aliases for @value and @language render tagged literals",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "bonjour", "@language": "fr"}],
+        },
+        {"@context": {"val": "@value", "lang": "@language", "@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0039",
+        "@graph alias wraps multiple roots",
+        [
+            {"@id": "http://e/a", "http://e/p": [{"@value": "1"}]},
+            {"@id": "http://e/b", "http://e/p": [{"@value": "2"}]},
+        ],
+        {"@context": {"g": "@graph", "@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0040",
+        "language-map entries stay scalar even under compactArrays=false "
+        "(reference quirk: compact.rs:558-594 ignores compact_arrays in "
+        "language/index maps; spec would array-wrap)",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [{"@value": "cat", "@language": "en"}],
+        },
+        {"@context": {"label": {"@id": "http://e/label", "@container": "@language"}}},
+        {"compactArrays": False},
+    ),
+    (
+        "t0041",
+        "reverse value with its own properties compacts as a nested node",
+        {
+            "@id": "http://e/x",
+            "@reverse": {
+                "http://e/parentOf": [
+                    {"@id": "http://e/y", "http://e/name": [{"@value": "why"}]}
+                ]
+            },
+        },
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e/parentOf"},
+                "name": "http://e/name",
+            }
+        },
+        {},
+    ),
+    (
+        "t0042",
+        "@type:@vocab coercion compacts values to vocab terms",
+        {
+            "@id": "http://e/x",
+            "http://e/see": [{"@id": "http://v.example/Thing"}],
+        },
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "see": {"@id": "http://e/see", "@type": "@vocab"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0043",
+        "two aliases for @id: selection is deterministic (shortest, then least)",
+        {"@id": "http://e/x", "http://e/p": [{"@value": "v"}]},
+        {"@context": {"ident": "@id", "id": "@id", "@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0044",
+        "a lone-@id root node drops at the pre-compaction expansion "
+        "(free-floating node rule)",
+        {"@id": "http://e/alone"},
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0045",
+        "datatyped value under a differently-coerced term keeps explicit form",
+        {
+            "@id": "http://e/x",
+            "http://e/born": [
+                {"@value": "1990", "@type": "http://www.w3.org/2001/XMLSchema#gYear"}
+            ],
+        },
+        {
+            "@context": {
+                "born": {
+                    "@id": "http://e/born",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            }
+        },
+        {},
+    ),
+    (
+        "t0046",
+        "untagged string under default @language keeps @value form",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "untagged"}],
+        },
+        {"@context": {"@language": "en", "@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0047",
+        "extreme doubles compact bare",
+        {
+            "@id": "http://e/x",
+            "http://e/big": [{"@value": 1e21}],
+            "http://e/tiny": [{"@value": 5e-324}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0048",
+        "deeply nested node objects compact recursively",
+        {
+            "@id": "http://e/a",
+            "http://e/p": [
+                {
+                    "@id": "http://e/b",
+                    "http://e/p": [
+                        {"@id": "http://e/c", "http://e/name": [{"@value": "leaf"}]}
+                    ],
+                }
+            ],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0049",
+        "language map keys emit sorted; multiple tags roundtrip",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [
+                {"@value": "chat", "@language": "fr"},
+                {"@value": "cat", "@language": "en"},
+                {"@value": "Katze", "@language": "de"},
+            ],
+        },
+        {"@context": {"label": {"@id": "http://e/label", "@container": "@language"}}},
+        {},
+    ),
+    (
+        "t0050",
+        "CURIE datatype compaction inside explicit value objects",
+        {
+            "@id": "http://e/x",
+            "http://e/q": [
+                {"@value": "P1D", "@type": "http://www.w3.org/2001/XMLSchema#duration"}
+            ],
+        },
+        {"@context": {"xsd": "http://www.w3.org/2001/XMLSchema#", "q": "http://e/q"}},
+        {},
+    ),
+]
+
+NEGATIVE_CASES = [
+    (
+        "te001",
+        "two lists cannot compact onto one @list-container term",
+        {
+            "@id": "http://e/x",
+            "http://e/tags": [
+                {"@list": [{"@value": "a"}]},
+                {"@list": [{"@value": "b"}]},
+            ],
+        },
+        {"@context": {"tags": {"@id": "http://e/tags", "@container": "@list"}}},
+        {},
+        E.COMPACTION_TO_LIST_OF_LISTS,
+    ),
 ]
 
 
@@ -197,6 +668,24 @@ def main() -> None:
         )
         print(f"== {tid}: {name}")
         print(json.dumps(actual, indent=1, sort_keys=True))
+
+    for tid, name, expanded_doc, context_doc, option, code in NEGATIVE_CASES:
+        with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
+            json.dump(expanded_doc, f, indent=1, sort_keys=True)
+        with open(os.path.join(HERE, f"{tid}-context.jsonld"), "w") as f:
+            json.dump(context_doc, f, indent=1, sort_keys=True)
+        sequence.append(
+            {
+                "@id": f"#{tid}",
+                "@type": ["jld:NegativeEvaluationTest"],
+                "name": name,
+                "input": f"{tid}-in.jsonld",
+                "context": f"{tid}-context.jsonld",
+                "expectErrorCode": code,
+                "option": option,
+            }
+        )
+        print(f"== {tid} (negative): {name} -> {code}")
 
     manifest = {"baseIri": BASE, "sequence": sequence}
     with open(os.path.join(HERE, "manifest.jsonld"), "w") as f:

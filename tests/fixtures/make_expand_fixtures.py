@@ -323,6 +323,289 @@ CASES = [
         },
         {},
     ),
+    # ---- round-2 widening: @reverse/container composition, language edge
+    # cases, keyword aliases, array/context normalization (VERDICT r1 #6).
+    (
+        "t0026",
+        "@reverse term with @container @index: index map flows into @reverse",
+        {
+            "@context": {
+                "parentOf": {
+                    "@reverse": "http://e/childOf",
+                    "@container": "@index",
+                }
+            },
+            "@id": "http://e/root",
+            "parentOf": {
+                "a": {"@id": "http://e/kid1"},
+                "b": {"@id": "http://e/kid2"},
+            },
+        },
+        {},
+    ),
+    (
+        "t0027",
+        "reverse term used INSIDE an explicit @reverse map flips back forward",
+        {
+            "@context": {"childOf": {"@reverse": "http://e/parentOf"}},
+            "@id": "http://e/x",
+            "@reverse": {"childOf": {"@id": "http://e/y"}},
+        },
+        {},
+    ),
+    (
+        "t0028",
+        "term @language:null blocks the default language",
+        {
+            "@context": {
+                "@language": "en",
+                "plain": {"@id": "http://e/plain", "@language": None},
+                "tagged": "http://e/tagged",
+            },
+            "plain": "no tag",
+            "tagged": "has tag",
+        },
+        {},
+    ),
+    (
+        "t0029",
+        "term-specific @language overrides the default language",
+        {
+            "@context": {
+                "@language": "en",
+                "de": {"@id": "http://e/label", "@language": "de"},
+            },
+            "de": "Katze",
+        },
+        {},
+    ),
+    (
+        "t0030",
+        "@type arrays expand per-value with vocab (not base)",
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "http://e/x",
+            "@type": ["Local", "http://abs.example/T"],
+        },
+        {},
+    ),
+    (
+        "t0031",
+        "explicitly defined term wins over prefix:suffix decomposition",
+        {
+            "@context": {
+                "a": "http://prefix.example/",
+                "a:b": "http://whole.example/term",
+            },
+            "@id": "http://e/x",
+            "a:b": "v",
+            "a:c": "w",
+        },
+        {},
+    ),
+    (
+        "t0032",
+        "@vocab without trailing separator concatenates bare",
+        {
+            "@context": {"@vocab": "http://v.example/ns"},
+            "@id": "http://e/x",
+            "prop": "v",
+        },
+        {},
+    ),
+    (
+        "t0033",
+        "aliased @type as a property key coerces values to IRIs",
+        {
+            "@context": {"type": "@type", "@vocab": "http://v.example/"},
+            "@id": "http://e/x",
+            "type": "Thing",
+        },
+        {},
+    ),
+    (
+        "t0034",
+        "node with @graph and @id keeps the named-graph structure",
+        {
+            "@id": "http://e/g",
+            "http://e/meta": "m",
+            "@graph": [{"@id": "http://e/in", "http://e/p": "v"}],
+        },
+        {},
+    ),
+    (
+        "t0035",
+        "@set objects inside arrays unwrap and splice",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@set": ["a", "b"]}, "c"],
+        },
+        {},
+    ),
+    (
+        "t0036",
+        "nested arrays flatten recursively outside list containers",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [["a", ["b"]], "c"],
+        },
+        {},
+    ),
+    (
+        "t0037",
+        "@index on a node object is preserved through expansion",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@id": "http://e/y", "@index": "k", "http://e/q": "v"},
+        },
+        {},
+    ),
+    (
+        "t0038",
+        "explicit @list containing node references",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@list": [{"@id": "http://e/a"}, {"@id": "http://e/b"}]},
+        },
+        {},
+    ),
+    (
+        "t0039",
+        "@language tags lowercase on value objects (spec 1.0 normalization)",
+        {
+            "http://e/p": {"@value": "HELLO", "@language": "EN-US"},
+            "@id": "http://e/x",
+        },
+        {},
+    ),
+    (
+        "t0040",
+        "@type:@id coercion resolves values against base, arrays too",
+        {
+            "@context": {"see": {"@id": "http://e/see", "@type": "@id"}},
+            "@id": "http://e/x",
+            "see": ["other", "http://abs.example/y"],
+        },
+        {"base": "https://site.example/a/b"},
+    ),
+    (
+        "t0041",
+        "empty array value keeps the property with an empty object list",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [],
+            "http://e/q": "kept",
+        },
+        {},
+    ),
+    (
+        "t0042",
+        "@language container: scalar entries normalize to arrays",
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            },
+            "@id": "http://e/x",
+            "label": {"en": "one"},
+        },
+        {},
+    ),
+    (
+        "t0043",
+        "array of contexts: later member overrides @vocab of earlier",
+        {
+            "@context": [
+                {"@vocab": "http://first.example/"},
+                {"@vocab": "http://second.example/"},
+            ],
+            "@id": "http://e/x",
+            "p": "v",
+        },
+        {},
+    ),
+    (
+        "t0044",
+        "null mid-array resets, following member rebuilds",
+        {
+            "@context": [
+                {"@vocab": "http://gone.example/"},
+                None,
+                {"name": "http://kept.example/name"},
+            ],
+            "@id": "http://e/x",
+            "name": "v",
+            "lost": "dropped",
+        },
+        {},
+    ),
+    (
+        "t0045",
+        "blank-node property keys survive (generalized RDF, ref nodemap)",
+        {
+            "@id": "http://e/x",
+            "_:p": "via blank predicate",
+        },
+        {},
+    ),
+    (
+        "t0046",
+        "unknown at-keyword-like keys drop silently",
+        {
+            "@id": "http://e/x",
+            "@unknownKeyword": "dropped",
+            "http://e/p": "kept",
+        },
+        {},
+    ),
+    (
+        "t0047",
+        "aliased @graph wraps like the keyword",
+        {
+            "@context": {"g": "@graph"},
+            "@id": "http://e/g",
+            "g": [{"@id": "http://e/in", "http://e/p": "v"}],
+        },
+        {},
+    ),
+    (
+        "t0048",
+        "extreme doubles keep native values at expansion",
+        {
+            "@id": "http://e/x",
+            "http://e/big": 1e21,
+            "http://e/tiny": 5e-324,
+            "http://e/negzero": -0.0,
+        },
+        {},
+    ),
+    (
+        "t0049",
+        "@container @list composed with @type:@id coercion per item",
+        {
+            "@context": {
+                "chain": {
+                    "@id": "http://e/chain",
+                    "@container": "@list",
+                    "@type": "@id",
+                }
+            },
+            "@id": "http://e/x",
+            "chain": ["a", "http://abs.example/b"],
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0050",
+        "top-level scalars inside @graph array drop; nodes survive",
+        {
+            "@graph": [
+                "free floating",
+                {"@id": "http://e/x", "http://e/p": "v"},
+                {"@value": "also dropped"},
+            ]
+        },
+        {},
+    ),
 ]
 
 NEGATIVE_CASES = [
@@ -374,6 +657,221 @@ NEGATIVE_CASES = [
         "(the defined-map guards make CyclicIRIMapping unreachable here, "
         "matching the reference's guard placement in creation.rs:139-187)",
         {"@context": {"a": "b:x", "b": "a:y"}, "a:p": "v"},
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
+    # ---- round-2 widening: one case per reachable error variant
+    # (reference expand.rs:15-63 / creation.rs:25-68; VERDICT r1 #6).
+    (
+        "te007",
+        "@reverse value must be a map",
+        {"@id": "http://e/x", "@reverse": "http://e/p"},
+        {},
+        E.INVALID_REVERSE_VALUE,
+    ),
+    (
+        "te008",
+        "keyword key inside a @reverse map",
+        {"@id": "http://e/x", "@reverse": {"@id": "http://e/y"}},
+        {},
+        E.INVALID_REVERSE_PROPERTY_MAP,
+    ),
+    (
+        "te009",
+        "non-string @id",
+        {"@id": 5, "http://e/p": "v"},
+        {},
+        E.INVALID_ID_VALUE,
+    ),
+    (
+        "te010",
+        "@type as a map",
+        {"@id": "http://e/x", "@type": {"bad": 1}},
+        {},
+        E.INVALID_TYPE_VALUE,
+    ),
+    (
+        "te011",
+        "non-string @type on a value object",
+        {"http://e/p": {"@value": "v", "@type": 5}},
+        {},
+        E.INVALID_TYPE_VALUE,
+    ),
+    (
+        "te012",
+        "@value must be scalar or null",
+        {"http://e/p": {"@value": {"nested": 1}}},
+        {},
+        E.INVALID_VALUE_OBJECT_VALUE,
+    ),
+    (
+        "te013",
+        "non-string @language tag on a value object",
+        {"http://e/p": {"@value": "v", "@language": 5}},
+        {},
+        E.INVALID_LANGUAGE_TAGGED_STRING,
+    ),
+    (
+        "te014",
+        "array @language tag on a value object",
+        {"http://e/p": {"@value": "v", "@language": ["en"]}},
+        {},
+        E.INVALID_LANGUAGE_TAGGED_STRING,
+    ),
+    (
+        "te015",
+        "non-string @index",
+        {"http://e/p": {"@value": "v", "@index": 7}},
+        {},
+        E.INVALID_INDEX_VALUE,
+    ),
+    (
+        "te016",
+        "value object under a reverse property",
+        {"@id": "http://e/x", "@reverse": {"http://e/p": {"@value": "v"}}},
+        {},
+        E.INVALID_REVERSE_PROPERTY_VALUE,
+    ),
+    (
+        "te017",
+        "literal under a reverse term",
+        {
+            "@context": {"rev": {"@reverse": "http://e/p"}},
+            "@id": "http://e/x",
+            "rev": "literal",
+        },
+        {},
+        E.INVALID_REVERSE_PROPERTY_VALUE,
+    ),
+    (
+        "te018",
+        "non-string entry in a language map",
+        {
+            "@context": {"l": {"@id": "http://e/l", "@container": "@language"}},
+            "l": {"en": 5},
+        },
+        {},
+        E.INVALID_LANGUAGE_MAP_VALUE,
+    ),
+    (
+        "te019",
+        "@set with an extra key",
+        {"http://e/p": {"@set": [1], "@id": "http://e/x"}},
+        {},
+        E.INVALID_SET_OBJECT,
+    ),
+    (
+        "te020",
+        "@list with an extra key",
+        {"http://e/p": {"@list": [1], "@id": "http://e/x"}},
+        {},
+        E.INVALID_LIST_OBJECT,
+    ),
+    (
+        "te021",
+        "non-string @type in a term definition",
+        {"@context": {"t": {"@id": "http://e/t", "@type": 5}}, "t": "v"},
+        {},
+        E.INVALID_TYPE_MAPPING,
+    ),
+    (
+        "te022",
+        "@reverse term with a non-@index/@set container",
+        {
+            "@context": {
+                "r": {"@reverse": "http://e/p", "@container": "@language"}
+            },
+            "r": {"en": "x"},
+        },
+        {},
+        E.INVALID_REVERSE_PROPERTY,
+    ),
+    (
+        "te023",
+        "term @id maps to a non-string",
+        {"@context": {"t": {"@id": 5}}, "t": "v"},
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
+    (
+        "te024",
+        "@context cannot be aliased",
+        {"@context": {"ctx": "@context"}, "http://e/p": "v"},
+        {},
+        E.INVALID_KEYWORD_ALIAS,
+    ),
+    (
+        "te025",
+        "unknown @container value",
+        {"@context": {"t": {"@id": "http://e/t", "@container": "@bogus"}}, "t": "v"},
+        {},
+        E.INVALID_CONTAINER_MAPPING,
+    ),
+    (
+        "te026",
+        "non-string @language in a term definition",
+        {"@context": {"t": {"@id": "http://e/t", "@language": 5}}, "t": "v"},
+        {},
+        E.INVALID_LANGUAGE_MAPPING,
+    ),
+    (
+        "te027",
+        "term defined as a number",
+        {"@context": {"t": 5}, "t": "v"},
+        {},
+        E.INVALID_TERM_DEFINITION,
+    ),
+    (
+        "te028",
+        "non-string @base",
+        {"@context": {"@base": 5}, "@id": "x"},
+        {},
+        E.INVALID_BASE_IRI,
+    ),
+    (
+        "te029",
+        "non-string @vocab",
+        {"@context": {"@vocab": 5}, "http://e/p": "v"},
+        {},
+        E.INVALID_VOCAB_MAPPING,
+    ),
+    (
+        "te030",
+        "scalar local context",
+        {"@context": 5, "http://e/p": "v"},
+        {},
+        E.INVALID_LOCAL_CONTEXT,
+    ),
+    (
+        "te031",
+        "array @type on a value object",
+        {"http://e/p": {"@value": "v", "@type": ["http://e/T", "http://e/U"]}},
+        {},
+        E.INVALID_TYPED_VALUE,
+    ),
+    (
+        "te032",
+        "@value with both @language and @type",
+        {"http://e/p": {"@value": "v", "@language": "en", "@type": "http://e/T"}},
+        {},
+        E.INVALID_VALUE_OBJECT,
+    ),
+    (
+        "te033",
+        "@reverse cannot be redefined as a term",
+        {"@context": {"@reverse": "http://e/x"}, "http://e/p": "v"},
+        {},
+        E.KEYWORD_REDEFINITION,
+    ),
+    (
+        "te034",
+        "object-form mutual prefix recursion also resolves to invalid IRI "
+        "mapping (defined-map guard keeps CyclicIRIMapping unreachable, "
+        "reference creation.rs guard placement — see te006)",
+        {
+            "@context": {"a": {"@id": "b:x"}, "b": {"@id": "a:y"}},
+            "a:p": "v",
+        },
         {},
         E.INVALID_IRI_MAPPING,
     ),

@@ -140,6 +140,232 @@ CASES = [
             "post": {"x": "first", "y": "second"},
         },
     ),
+    # ---- round-2 widening (VERDICT r1 #6): double formatting, escaping,
+    # graph composition, list shapes, unicode, shared blank labels.
+    (
+        "t0013",
+        "xsd:double canonical lexical forms (ryu parity): extremes",
+        {
+            "@id": "http://e/s",
+            "http://e/big": 1e21,
+            "http://e/tiny": 5e-324,
+            "http://e/negzero": -0.0,
+            "http://e/whole": 1.0,
+        },
+    ),
+    (
+        "t0014",
+        "integer vs double split on the same node",
+        {
+            "@id": "http://e/s",
+            "http://e/i": 42,
+            "http://e/d": 42.5,
+            "http://e/negi": -7,
+        },
+    ),
+    (
+        "t0015",
+        "boolean literal canonical forms",
+        {"@id": "http://e/s", "http://e/t": True, "http://e/f": False},
+    ),
+    (
+        "t0016",
+        "string escaping: quote, backslash, newline, CR; raw tab survives",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "say \"hi\" \\ two\nlines\rcr\ttab",
+        },
+    ),
+    (
+        "t0017",
+        "language tags lowercase into RDF literals",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "HELLO", "@language": "EN-US"},
+        },
+    ),
+    (
+        "t0018",
+        "multiple rdf:type triples from @type array",
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "http://e/s",
+            "@type": ["A", "B", "http://abs.example/C"],
+        },
+    ),
+    (
+        "t0019",
+        "list inside a named graph stays in that graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/s",
+                    "http://e/l": {"@list": ["a", "b"]},
+                }
+            ],
+        },
+    ),
+    (
+        "t0020",
+        "node object inside a list: bnode in chain plus its own triples",
+        {
+            "@id": "http://e/s",
+            "http://e/l": {
+                "@list": [{"http://e/name": "inner"}, "tail"]
+            },
+        },
+    ),
+    (
+        "t0021",
+        "empty named graph emits only the metadata triples",
+        {
+            "@id": "http://e/g",
+            "http://e/meta": "m",
+            "@graph": [],
+        },
+    ),
+    (
+        "t0022",
+        "same triple asserted in default and named graph: both quads",
+        [
+            {"@id": "http://e/s", "http://e/p": "v"},
+            {
+                "@id": "http://e/g",
+                "@graph": [{"@id": "http://e/s", "http://e/p": "v"}],
+            },
+        ],
+    ),
+    (
+        "t0023",
+        "explicitly typed dateTime literal passes through",
+        {
+            "@id": "http://e/s",
+            "http://e/at": {
+                "@value": "2020-01-02T03:04:05Z",
+                "@type": "http://www.w3.org/2001/XMLSchema#dateTime",
+            },
+        },
+    ),
+    (
+        "t0024",
+        "@index is ignored in RDF output",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "v", "@index": "dropped"},
+        },
+    ),
+    (
+        "t0025",
+        "blank node as graph label",
+        {
+            "@context": {"g": "@graph"},
+            "@id": "_:gname",
+            "http://e/meta": "m",
+            "g": [{"@id": "http://e/in", "http://e/p": "v"}],
+        },
+    ),
+    (
+        "t0026",
+        "duplicate literal values dedup within a node (value dedup quirk)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": ["same", "same", "other"],
+        },
+    ),
+    (
+        "t0027",
+        "single-element list: one cons cell to rdf:nil",
+        {
+            "@id": "http://e/s",
+            "http://e/l": {"@list": ["only"]},
+        },
+    ),
+    (
+        "t0028",
+        "shared blank node referenced from two subjects keeps one label",
+        {
+            "@context": {"@vocab": "http://e/"},
+            "@graph": [
+                {"@id": "http://e/a", "sees": {"@id": "_:shared", "name": "s"}},
+                {"@id": "http://e/b", "sees": {"@id": "_:shared"}},
+            ],
+        },
+    ),
+    (
+        "t0029",
+        "big integers keep full precision",
+        {
+            "@id": "http://e/s",
+            "http://e/n": 123456789012345678901234567890,
+        },
+    ),
+    (
+        "t0030",
+        "non-ASCII literal content stays raw UTF-8",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "šžő → 中文 ✓",
+        },
+    ),
+    (
+        "t0031",
+        "same blank label used across two named graphs (document-scoped)",
+        {
+            "@graph": [
+                {
+                    "@id": "http://e/g1",
+                    "@graph": [{"@id": "_:shared", "http://e/p": "in-g1"}],
+                },
+                {
+                    "@id": "http://e/g2",
+                    "@graph": [{"@id": "_:shared", "http://e/p": "in-g2"}],
+                },
+            ]
+        },
+    ),
+    (
+        "t0032",
+        "@reverse inside a named graph keeps quads in the graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/x",
+                    "@reverse": {"http://e/parentOf": {"@id": "http://e/y"}},
+                }
+            ],
+        },
+    ),
+    (
+        "t0033",
+        "global sort across graphs in canonical output",
+        [
+            {
+                "@id": "http://e/zgraph",
+                "@graph": [{"@id": "http://e/a", "http://e/p": "1"}],
+            },
+            {"@id": "http://e/a", "http://e/p": "0"},
+        ],
+    ),
+    (
+        "t0034",
+        "type coercion to @id yields IRI objects, not literals",
+        {
+            "@context": {"see": {"@id": "http://e/see", "@type": "@id"}},
+            "@id": "http://e/s",
+            "see": "other/doc",
+        },
+    ),
+    (
+        "t0035",
+        "deep nesting: three levels of anonymous nodes chain by bnode",
+        {
+            "@context": {"@vocab": "http://e/"},
+            "@id": "http://e/root",
+            "p": {"q": {"r": {"name": "leaf"}}},
+        },
+    ),
 ]
 
 

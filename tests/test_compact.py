@@ -24,6 +24,9 @@ CASES = [
     if "jld:PositiveEvaluationTest" in t["@type"]
     and t.get("option", {}).get("specVersion") != "json-ld-1.1"
 ]
+NEGATIVE = [
+    t for t in MANIFEST["sequence"] if "jld:NegativeEvaluationTest" in t["@type"]
+]
 
 
 def _read(name):
@@ -43,6 +46,19 @@ def test_compact_positive(case):
         compact_arrays=option.get("compactArrays", True),
     )
     assert actual == _read(case["expect"]), case["name"]
+
+
+@pytest.mark.parametrize("case", NEGATIVE, ids=lambda c: c["@id"])
+def test_compact_negative(case):
+    from jsonld_rs_spark.jsonldpy import errors as E
+
+    doc = _read(case["input"])
+    context = _read(case["context"])
+    with pytest.raises(E.JsonLdError) as ei:
+        compact_document(
+            doc, context, base=MANIFEST["baseIri"] + case["input"]
+        )
+    assert ei.value.code == case["expectErrorCode"], case["name"]
 
 
 def test_expand_compact_roundtrip_on_pipeline_blocks():
