@@ -61,7 +61,7 @@ def _run(fn, spark, sf_dir, trials: int = None):
     """Best-of-N wall time: this VM is a shared-host guest with CPU steal
     (identical runs vary up to 5x under contention); min over trials
     measures the engine, not the neighbors."""
-    trials = trials or int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    trials = trials or int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     best = None
     n = 0
     for _ in range(trials):

@@ -125,24 +125,40 @@ def minhash_dup_pairs(
     empty docs) and are excluded here; query them via
     ``minhash_degenerate_buckets`` (same cap) instead. The DuckDB oracle twin
     applies the identical cap, so the capped operator IS the verified one.
-    ``max_bucket=0`` disables the cap (exact all-candidate semantics)."""
+    ``max_bucket=0`` disables the cap (exact all-candidate semantics).
+
+    Plan: ONE aggregate shuffle on (band, sig) collecting the bucket's
+    sorted member list (bounded by the cap), then per-bucket pair expansion
+    as a JVM expression (transform×slice combination walk) and a distinct.
+    This replaces the earlier self-join formulation — a self-join recomputes
+    the exploded side twice and adds a semi-join exchange for the cap
+    (measured 2× slower cold at sf0.1); bucket-local expansion is the
+    textbook LSH shape and the cap bounds collect_list memory."""
     exploded = _exploded_band_sigs(docs, bands)
+    grouped = exploded.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     if max_bucket > 0:
-        sizes = (
-            exploded.groupBy("band", "sig")
-            .count()
-            .filter(F.col("count") <= max_bucket)
-            .select("band", "sig")
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # (x, i) lambda: PySpark passes (element, index) — the index is wanted
+    # here: element i pairs with every LATER element, so doc_a < doc_b by
+    # construction (ids are sorted and unique within a bucket).
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        exploded = exploded.join(sizes, ["band", "sig"], "left_semi")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
