@@ -44,3 +44,17 @@ def test_document_with_bad_context_skipped_not_crashed():
     doc = {"@context": "https://ctx.example/cycle-a", "http://e/p": "v"}
     with pytest.raises(E.JsonLdError):
         expand(doc, base="https://x.example/", loader=LOADER)
+
+
+def test_non_object_remote_context_classified():
+    """A remote document that dereferences to a non-object (e.g. an array)
+    must raise the dedicated code, not a bare crash."""
+    from jsonld_rs_spark.jsonldpy.context import Context
+
+    def loader(url):
+        return ["not", "an", "object"]
+
+    ctx = Context()
+    with pytest.raises(E.ContextError) as exc:
+        ctx.process_context("https://ctx.example/array-doc", {}, loader)
+    assert exc.value.code == E.REMOTE_CONTEXT_NO_OBJECT

@@ -55,3 +55,16 @@ def test_expand_negative(case):
     with pytest.raises(E.JsonLdError) as exc:
         expand(doc, base=base, expand_context=option.get("expandContext"))
     assert exc.value.code == case["expectErrorCode"], case["name"]
+
+
+def test_cyclic_iri_mapping_guard_code():
+    """The re-entrancy guard in create_term carries the reference's
+    CyclicIRIMapping code. Unreachable through expand() (the defined-map
+    guard in expand_iri_mut resolves mutual recursion to invalid_iri_mapping
+    first — te006/te034), so assert the guard directly."""
+    from jsonld_rs_spark.jsonldpy.context import _DEFINING, Context
+
+    ctx = Context()
+    with pytest.raises(E.TermCreationError) as ei:
+        ctx.create_term({"t": "http://e/t"}, "t", "http://e/t", {"t": _DEFINING})
+    assert ei.value.code == E.CYCLIC_IRI_MAPPING

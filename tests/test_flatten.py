@@ -65,3 +65,37 @@ def test_flatten_lists_and_types():
     assert a["http://e/l"] == [
         {"@list": [{"@value": 1}, {"@id": "http://e/b"}]}
     ]
+
+
+def test_nodemap_error_codes_on_malformed_expanded_input():
+    """The remaining nodemap error variants (reference nodemap.rs:13-34) are
+    unreachable through expand() (it rejects these shapes earlier with its
+    own codes) but generate_node_map is public API for pre-expanded input —
+    each must classify, never crash bare."""
+    import pytest as _pytest
+
+    from jsonld_rs_spark.jsonldpy import errors as E
+    from jsonld_rs_spark.jsonldpy.nodemap import DefaultNodeGenerator, generate_node_map
+
+    def run(doc):
+        generate_node_map(doc, DefaultNodeGenerator())
+
+    with _pytest.raises(E.NodeMapError) as ei:
+        run([{"@id": "http://e/x", "http://e/p": [{"@value": "v", "@language": 5}]}])
+    assert ei.value.code == E.EXPECTED_STRING
+
+    with _pytest.raises(E.NodeMapError) as ei:
+        run(["bare scalar at nodemap level"])
+    assert ei.value.code == E.INVALID_OBJECT
+
+    with _pytest.raises(E.NodeMapError) as ei:
+        run([{"@value": "free-floating value"}])
+    assert ei.value.code == E.INVALID_OBJECT
+
+    with _pytest.raises(E.NodeMapError) as ei:
+        run([{"@list": [{"@value": "x"}]}])
+    assert ei.value.code == E.INVALID_OBJECT
+
+    with _pytest.raises(E.NodeMapError) as ei:
+        run([{"@id": "http://e/x", "@type": [5]}])
+    assert ei.value.code == E.INVALID_TYPE_VALUE
