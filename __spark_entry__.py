@@ -547,6 +547,22 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: stride-sampled codebook, nearest-cell inverted lists,
+    probe-4-cells exact re-rank. Codebook is reproduced verbatim in SQL."""
+    from jsonld_rs_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
+
+
+def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming aggregation replayed to completion (availableNow,
+    complete mode, memory sink) — the streaming engine must match DuckDB."""
+    from jsonld_rs_spark.streaming.ingest import streaming_event_rollup as run
+
+    return run(spark, sf_dir)
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.multimodal import extract_features, synthesize_media
 
@@ -596,7 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "media_features": media_features,
+        "streaming_event_rollup": streaming_event_rollup,
     }
 
 
@@ -1028,6 +1046,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN b y ON y.vec_id = vec_b
         WHERE {_COS_SQL.format(x="x.v", y="y.v")} >= 0.4
         ORDER BY vec_a, vec_b
+        """,
+        "ann_topk_ivf": """
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS stride FROM c
+            ), cents AS (
+              SELECT CAST(vec_id // stride AS BIGINT) AS cid, v AS cv
+              FROM c, p WHERE vec_id % stride = 0
+            ), sims AS (
+              SELECT c.vec_id, c.v, cents.cid,
+                     list_dot_product(c.v, cents.cv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(cents.cv, cents.cv))) AS sim
+              FROM c CROSS JOIN cents
+            ), assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                FROM sims WHERE vec_id < 5
+              ) WHERE rn <= 4
+            ), cand AS (
+              SELECT DISTINCT probe.query_id, assign.vec_id
+              FROM probe JOIN assign ON assign.cell = probe.cell
+              WHERE assign.vec_id != probe.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     round(list_dot_product(q.v, x.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(x.v, x.v))), 6) AS cosine
+              FROM cand
+              JOIN c x ON x.vec_id = cand.vec_id
+              JOIN c q ON q.vec_id = cand.query_id
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "streaming_event_rollup": """
+            SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_bucket,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY day_bucket, event_type
+            ORDER BY day_bucket, event_type
         """,
         "media_features": f"""
             WITH m AS (

@@ -172,3 +172,112 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+N_CENTROIDS = 16
+N_PROBE_CELLS = 4
+
+
+def _ivf_centroids(corpus: DataFrame, n_centroids: int):
+    """Deterministic codebook: every ``stride``-th vector of the corpus
+    (cid = vec_id // stride). Data-derived like real IVF codebooks, but
+    reproducible in plain SQL — no k-means iterations, so the DuckDB twin
+    can rebuild the identical codebook. Returns (cids, matrix, stride)."""
+    import math
+
+    import numpy as np
+
+    n = corpus.count()
+    stride = max(1, math.ceil(n / n_centroids))
+    rows = (
+        corpus.filter(F.col("vec_id") % stride == 0)
+        .select((F.col("vec_id") / stride).cast("long").alias("cid"), "v")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows])
+    mat = np.array([r["v"] for r in rows], dtype="float64")
+    return cids, mat, stride
+
+
+def with_ivf_cell(df, vec_col: str, cids, centroids):
+    """Assign each vector to its max-cosine centroid in one Arrow pass
+    (ties broken by smallest cid — the SQL twin orders identically)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    inv_norms = 1.0 / np.linalg.norm(centroids, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())
+            # row norms cancel in argmax; scale columns by centroid norms
+            sims = (m @ centroids.T) * inv_norms
+            pdf = pdf.copy()
+            pdf["cell"] = cids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    schema = StructType(list(df.schema.fields) + [StructField("cell", LongType())])
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe_cells: int = N_PROBE_CELLS,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are inverted-listed by
+    nearest centroid; each query probes its ``n_probe_cells`` nearest cells
+    and exact cosine re-ranks only those candidates. Scale shape: the wide
+    join key is the cell id, per-query work is ≈ probe_cells/|cells| of the
+    corpus, and candidates travel as bare ids until re-rank."""
+    import numpy as np
+
+    from ..util import spread
+
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None or first["d"] is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    base = spread(embeddings.select("vec_id", _as_double("embedding").alias("v")))
+    cids, cents, _stride = _ivf_centroids(base, n_centroids)
+    corpus = with_ivf_cell(base, "v", cids, cents).localCheckpoint()
+
+    # query probe cells: top-n_probe_cells centroids by cosine (driver-side
+    # on the tiny query set — n_queries × n_centroids scalars)
+    inv_norms = 1.0 / np.linalg.norm(cents, axis=1)
+    q_rows = corpus.filter(F.col("vec_id") < n_queries).select("vec_id", "v").collect()
+    probe = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype="float64")
+        sims = (cents @ qv) * inv_norms / np.linalg.norm(qv)
+        order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+        probe.extend((int(r["vec_id"]), int(cids[i])) for i in order[:n_probe_cells])
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probe, "query_id long, cell long")
+
+    cand = (
+        corpus.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = cand.join(corpus.select("vec_id", "v"), "vec_id").join(
+        F.broadcast(
+            corpus.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+            )
+        ),
+        "query_id",
+    )
+    cosine = F.round(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -103,3 +103,52 @@ def windowed_page_counts(pages_stream: DataFrame, watermark: str = "2 hours") ->
             "n_pages",
         )
     )
+
+
+def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent streaming aggregation, runnable under the driver's
+    oracle gate: the events table is replayed through the streaming engine
+    (parquet file source, availableNow trigger), aggregated per
+    (day-bucket, event_type) in complete mode into a memory sink, and the
+    finished result is returned as a plain DataFrame.
+
+    Day buckets are integer floors of epoch MICROseconds (timestampdiff on
+    the TIMESTAMP_NTZ column) so no timezone ever enters — the DuckDB twin
+    buckets epoch_us(ts) identically. Watermarked append-mode streaming
+    (where results finalize incrementally) is exercised in
+    tests/test_streaming.py; this entry proves the streaming engine computes
+    the same aggregate the batch engine (and DuckDB) does."""
+    import tempfile
+    import uuid
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a DIRECTORY; testdata is a read-only
+    # single file, so stage a symlink (no copy) in a temp dir
+    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .load(stage_dir)
+    )
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    agg = (
+        stream.withColumn("day_bucket", F.floor(micros / F.lit(86_400_000_000)))
+        .groupBy("day_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = "stream_rollup_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("day_bucket", "event_type")

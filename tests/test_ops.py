@@ -264,3 +264,34 @@ def test_minhash_degenerate_corpus_bounded(spark):
     # the cap is what bounds it, on a slice small enough to run
     small = docs.filter(F.col("doc_id") < 60)
     assert minhash_dup_pairs(small, max_bucket=0).count() == 60 * 59 // 2
+
+
+def test_ivf_topk_recall_floor_on_clustered_corpus(spark):
+    """IVF with probe=4 of 16 cells on clustered data: recall@10 must be
+    high (the probed cells contain the query's cluster)."""
+    import numpy as np
+
+    from jsonld_rs_spark.ops.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.normal(scale=0.15, size=64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = brute_force_topk(emb, n_queries=5, k=10).collect()
+    approx = ivf_topk(emb, n_queries=5, k=10).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx_sets.get(q, set()) & hits) / len(hits)
+        for q, hits in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -113,3 +113,28 @@ def test_dedup_late_crawls_drops_duplicate_arrivals(spark, pages, tmp_path_facto
     rows = spark.sql("select url, warc_ts, count(*) c from dedup_out group by 1,2 having count(*) > 1").collect()
     assert rows == []
     assert spark.sql("select count(*) c from dedup_out").collect()[0]["c"] == 20
+
+
+def test_streaming_event_rollup_matches_batch(spark, sf_dir):
+    """The streaming replay (availableNow, complete mode) must produce the
+    exact batch aggregate."""
+    from jsonld_rs_spark.streaming.ingest import streaming_event_rollup
+
+    got = {
+        (r["day_bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in streaming_event_rollup(spark, sf_dir).collect()
+    }
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("day_bucket", F.floor(micros / F.lit(86_400_000_000)))
+        .groupBy("day_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    want = {
+        (r["day_bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
