@@ -498,6 +498,12 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_rs_spark.ops.text import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.text import lang_id
 
@@ -605,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts_top20": word_counts_top20,
         "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
+        "bpe_token_count_docs": bpe_token_count_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -928,6 +935,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
                      AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "bpe_token_count_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "lang_id_docs": """

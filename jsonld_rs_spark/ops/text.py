@@ -76,3 +76,21 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.lower(F.col("text"))).alias("fp_md5"),
         F.md5(F.substring(F.lower(F.col("text")), 1, 64)).alias("fp_head"),
     )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish subword-proxy token count: letter runs are one token, every
+    digit is its own token (GPT-2-style digit splitting), every other
+    non-space character is its own token. The pattern uses only constructs
+    Java regex and DuckDB's RE2 interpret identically (no \\s, no lazy
+    quantifiers), so the SQL twin is exact. Still pure column algebra —
+    regexp_count is JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
