@@ -498,6 +498,12 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonld_rs_spark.ops.text import winnow_fingerprint
+
+    return winnow_fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.text import bpe_token_count
 
@@ -561,6 +567,15 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
 
 
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1→N mapInPandas); frame hashes are pure
+    functions of payload bytes + index, so DuckDB reproduces them."""
+    from jsonld_rs_spark.ops.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(media).orderBy("media_id", "frame_idx")
+
+
 def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming aggregation replayed to completion (availableNow,
     complete mode, memory sink) — the streaming engine must match DuckDB."""
@@ -612,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "media_features": media_features,
+        "media_frame_samples": media_frame_samples,
         "streaming_event_rollup": streaming_event_rollup,
     }
 
@@ -937,6 +954,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens
             FROM documents ORDER BY doc_id
         """,
+        "winnow_fingerprint_docs": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(text) - 7, 1)),
+                       i -> md5(substr(text, i, 8))) AS hs
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        generate_series(1, greatest(len(hs) - 3, 1)),
+                        s -> list_min(hs[s:s+3]))) AS fps
+              FROM h
+            )
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                   md5(array_to_string(list_sort(fps), ',')) AS fp
+            FROM m ORDER BY doc_id
+        """,
         "bpe_token_count_docs": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
@@ -1105,6 +1140,31 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "media_frame_samples": f"""
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS kind,
+                     sha256(text) AS h,
+                     text
+              FROM documents
+            ), sized AS (
+              SELECT media_id, text,
+                     CASE WHEN kind = 'image' THEN 1
+                          ELSE 24 + ({_hexbyte_sql("h", 2)} % 240)
+                     END AS n_frames
+              FROM m
+            )
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INT)
+                     AS frame_idx,
+                   sha256(text || '|' ||
+                          CAST(unnest(generate_series(0, n_frames - 1, 8)) AS VARCHAR))
+                     AS frame_sha
+            FROM sized
+            ORDER BY media_id, frame_idx
         """,
         "streaming_event_rollup": """
             SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_bucket,

@@ -114,3 +114,70 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_sha string"
+
+
+def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas fan-out: each video/audio payload
+    yields one row per sampled frame index (0, every_n, 2·every_n, …  up to
+    the decoded n_frames). The decode is the same deterministic stub as
+    extract_features — frame content is faked as sha256(payload|idx) — but
+    the Spark plumbing (schema, fan-out batch shape, payload never leaving
+    the narrow stage) is the real thing a codec would plug into."""
+    import pandas as pd
+
+    from ..util import spread
+
+    src = spread(media.select("media_id", "kind", "payload"), "media_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                _w, _h, n_frames = decode_stub(data, kind)
+                for idx in range(0, n_frames, every_n):
+                    sha = hashlib.sha256(
+                        data + b"|" + str(idx).encode("ascii")
+                    ).hexdigest()
+                    rows.append((int(media_id), idx, sha))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return src.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing: payload → (smaller) payload + updated meta, still a
+    narrow Arrow pass. The pixel work is STUBBED (deterministic byte
+    truncation proportional to the dimension ratio); a real deployment swaps
+    the inner function for Pillow/ffmpeg. Payload bytes never shuffle."""
+    import pandas as pd
+
+    from ..util import spread
+
+    src = spread(media.select("media_id", "kind", "payload"), "media_id")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                w, h, _n = decode_stub(data, kind)
+                scale = min(1.0, max_dim / max(w, h))
+                new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
+                new_len = max(1, int(len(data) * scale * scale))
+                rows.append((int(media_id), kind, data[:new_len], new_w, new_h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="media_id long, kind string, payload binary, width int, height int",
+    )

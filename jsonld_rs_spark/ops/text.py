@@ -94,3 +94,28 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
     )
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al.'s scheme shape):
+    hash every k-char gram, keep the minimum of each w-wide window, dedup —
+    robust to local edits, standard for plagiarism/near-dup detection.
+    Pure column algebra; the md5-array subtree is referenced more than once
+    (size + slice) and duplicates under CollapseProject — acceptable for a
+    cheap columnar map, noted per the round-1 lesson."""
+    text = F.col("text")
+    grams = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    hashes = F.transform(grams, lambda i: F.md5(text.substr(i.cast("int"), F.lit(k))))
+    hs = docs.select("doc_id", hashes.alias("hs"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.array_min(F.slice(F.col("hs"), s.cast("int"), w)),
+        )
+    )
+    return hs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.array_sort(fps))).alias("fp"),
+    )

@@ -295,3 +295,30 @@ def test_ivf_topk_recall_floor_on_clustered_corpus(spark):
         for q, hits in exact_sets.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_frame_sample_and_resize_plumbing(docs):
+    """Fan-out matches the decoded n_frames; resize never exceeds max_dim
+    and payloads shrink proportionally."""
+    from jsonld_rs_spark.ops.multimodal import (
+        decode_stub,
+        frame_sample,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs.filter(F.col("doc_id") < 30))
+    frames = frame_sample(media, every_n=8).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    src = {r["media_id"]: (r["kind"], bytes(r["payload"])) for r in media.collect()}
+    for mid, idxs in by_media.items():
+        kind, payload = src[mid]
+        _w, _h, n = decode_stub(payload, kind)
+        assert sorted(idxs) == list(range(0, n, 8))
+    resized = resize_media(media, max_dim=128).collect()
+    assert len(resized) == 30
+    for r in resized:
+        assert max(r["width"], r["height"]) <= 128
+        assert 0 < len(bytes(r["payload"])) <= len(src[r["media_id"]][1])
