@@ -651,9 +651,9 @@ _MINHASH_SIG_COLS = ",\n  ".join(
     for b in range(4)
 )
 
-# mirror of ops.dedup.MINHASH_MAX_BUCKET — the oracle applies the IDENTICAL
-# degenerate-bucket cap so the capped production operator is what's verified
-_MINHASH_CAP = 1000
+# the oracle applies the IDENTICAL degenerate-bucket cap as the operator,
+# imported so the two can never drift
+from jsonld_rs_spark.ops.dedup import MINHASH_MAX_BUCKET as _MINHASH_CAP  # noqa: E402
 
 _MINHASH_EXPLODED_CTE = """
         , sigs AS (

@@ -165,7 +165,10 @@ class _Canonicalizer:
         self._spend()
         data = position
         if position != "g":
-            data += f"<{quad.pred}>"
+            # blank predicates (generalized quads) contribute a fixed marker,
+            # not their raw input label — same off-spec rule as
+            # hash_first_degree, so n-degree hashes stay content-derived
+            data += "_:p" if is_blank(quad.pred) else f"<{quad.pred}>"
         if related in self.canonical.issued:
             data += self.canonical.issued[related]
         elif related in issuer.issued:

@@ -80,10 +80,12 @@ def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame
 
 def _exploded_band_sigs(docs: DataFrame, bands: int) -> DataFrame:
     """(doc_id, band, sig) rows — the LSH shuffle key table. Signatures are
-    materialized once (localCheckpoint) so a self-join does not recompute
-    shingling+hashing on both sides — at warehouse scale this is "write the
-    signature table, then join it with itself"."""
-    sigs = minhash_signatures(docs, bands).localCheckpoint()
+    checkpointed LAZILY: the first consumer materializes them, later
+    consumers (the degenerate-bucket pre-count and the pair aggregate both
+    read this) reuse the materialized rows instead of recomputing
+    shingling+hashing — at warehouse scale this is "write the signature
+    table once, then read it twice"."""
+    sigs = minhash_signatures(docs, bands).localCheckpoint(eager=False)
     return sigs.select(
         "doc_id",
         F.explode(
@@ -127,19 +129,29 @@ def minhash_dup_pairs(
     applies the identical cap, so the capped operator IS the verified one.
     ``max_bucket=0`` disables the cap (exact all-candidate semantics).
 
-    Plan: ONE aggregate shuffle on (band, sig) collecting the bucket's
-    sorted member list (bounded by the cap), then per-bucket pair expansion
-    as a JVM expression (transform×slice combination walk) and a distinct.
-    This replaces the earlier self-join formulation — a self-join recomputes
-    the exploded side twice and adds a semi-join exchange for the cap
-    (measured 2× slower cold at sf0.1); bucket-local expansion is the
-    textbook LSH shape and the cap bounds collect_list memory."""
+    Plan: degenerate buckets are excluded by a BROADCAST ANTI JOIN against
+    the (tiny) over-cap bucket list BEFORE any per-bucket materialization —
+    a signature shared by millions of docs never reaches collect_list, so
+    the cap genuinely bounds aggregation memory, and the anti join adds no
+    shuffle of the exploded table (its build side is the handful of
+    degenerate signatures). Then ONE aggregate shuffle on (band, sig)
+    collects the bucket's sorted member list and a JVM expression
+    (transform×slice combination walk) expands the pairs, followed by a
+    distinct. This replaces the earlier self-join formulation, which
+    recomputed the exploded side twice (measured ~2× slower cold at
+    sf0.1)."""
     exploded = _exploded_band_sigs(docs, bands)
+    if max_bucket > 0:
+        oversized = (
+            exploded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .select("band", "sig")
+        )
+        exploded = exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     grouped = exploded.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    if max_bucket > 0:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
     # (x, i) lambda: PySpark passes (element, index) — the index is wanted
     # here: element i pairs with every LATER element, so doc_a < doc_b by
     # construction (ids are sorted and unique within a bucket).
@@ -236,23 +248,19 @@ def embedding_near_dup(
     e = embeddings
     if n_probe:
         e = e.filter(F.col("vec_id") < n_probe)
+    from .similarity import _dot, _norm
+
     e = spread(
         e.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cosine = F.round(dot / (norm("a") * norm("b")), 6).alias("cosine")
 
     if method == "brute":
         a, b = e.alias("a"), e.alias("b")
+        cosine = F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+        ).alias("cosine")
         return (
             a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
@@ -266,7 +274,7 @@ def embedding_near_dup(
     from .similarity import with_lsh_buckets
 
     first = e.select(F.size("v").alias("d")).first()
-    if first is None:
+    if first is None or first["d"] is None:
         return e.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
         )
@@ -285,19 +293,15 @@ def embedding_near_dup(
     a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     joined = pairs.join(a, "vec_a").join(b, "vec_b")
-    dot2 = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm2 = lambda c: F.sqrt(
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         joined.select(
             "vec_a",
             "vec_b",
-            F.round(dot2 / (norm2("va") * norm2("vb")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -59,24 +59,33 @@ def write_triples(
     mode: str = "overwrite",
     table: Optional[str] = None,
 ) -> str:
-    """Sink with subject-hash bucketing. Capability-checked (VERDICT r1 #10):
-    when an Iceberg catalog is configured, write a real bucket-partitioned
-    v2 table via ``writeTo(...).partitionedBy(bucket(B, subj))`` — hidden
-    partitioning, so readers prune on ``subj`` predicates without knowing
-    the bucket column. Otherwise (this sandbox) fall back to
-    directory-partitioned parquet with the same explicit bucket layout.
+    """Sink with subject-hash bucketing.
+
+    Path-based writes (the default, and what the pipeline's resume flow /
+    ``read_triples`` / ``tools/submit_job.py`` consume) ALWAYS land as
+    directory-partitioned parquet at ``path`` — an Iceberg catalog being
+    configured must not silently reroute data away from the location other
+    stages read (review r2 finding #1).
+
+    The native Iceberg path is opt-in: pass ``table`` (a fully-qualified
+    ``catalog.namespace.name``) on a cluster with that catalog configured,
+    and the write becomes ``writeTo(table).partitionedBy(bucket(B, subj))``
+    — hidden partitioning, readers prune on ``subj`` predicates without
+    knowing the bucket column. The namespace must exist (Iceberg catalogs
+    don't auto-create); append-to-missing-table falls back to create.
     Returns which sink was used ('iceberg' | 'parquet')."""
     spark = triples_df.sparkSession
-    catalog = iceberg_catalog(spark)
-    if catalog is not None:
-        name = table or "triples_" + os.path.basename(path.rstrip("/"))
-        writer = triples_df.writeTo(f"{catalog}.kg.{name}").partitionedBy(
+    if table is not None and iceberg_catalog(spark) is not None:
+        writer = triples_df.writeTo(table).partitionedBy(
             F.bucket(buckets, F.col("subj"))
         )
         if mode == "overwrite":
             writer.createOrReplace()
         else:
-            writer.append()
+            try:
+                writer.append()
+            except Exception:  # first write: table doesn't exist yet
+                writer.create()
         return "iceberg"
     bucketed(triples_df, buckets).write.mode(mode).partitionBy("bucket").parquet(path)
     return "parquet"

@@ -123,9 +123,12 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a DIRECTORY; testdata is a read-only
-    # single file, so stage a symlink (no copy) in a temp dir
+    # single file, so stage a symlink (no copy) in a temp dir. abspath: a
+    # relative sf_dir would otherwise be stored relative to the temp dir
+    # and dangle.
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     stage_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage_dir, "events.parquet"))
+    os.symlink(src, os.path.join(stage_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
@@ -150,5 +153,11 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the returned frame reads the in-memory sink, not the staged files
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(name).orderBy("day_bucket", "event_type")

@@ -159,6 +159,17 @@ CASES = [
         ],
     ),
     (
+        "c0013",
+        "blank predicate on an n-degree-ambiguous pair: node labels must be "
+        "content-derived (predicate contributes a fixed marker, off-spec "
+        "generalized-RDF rule); the predicate-only label itself survives raw",
+        [
+            ("@default", "_:e0", "_:pred9", "id", "_:e1", None, None),
+            ("@default", "_:e1", "_:pred9", "id", "_:e0", None, None),
+            ("@default", "_:e0", P, "lit", "anchor", None, None),
+        ],
+    ),
+    (
         "c0012",
         "diamond: one source, two mid nodes, one sink",
         [

@@ -108,5 +108,7 @@ def test_write_triples_capability_fallback(spark, tmp_path):
     )
     out = str(tmp_path / "triples")
     assert write_triples(df, out, buckets=4) == "parquet"
+    # even with an explicit table name, no catalog -> parquet at path
+    assert write_triples(df, out, buckets=4, table="ice.kg.triples") == "parquet"
     back = spark.read.parquet(out)
     assert back.select("bucket").distinct().count() == 1  # layout present

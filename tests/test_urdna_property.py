@@ -100,3 +100,25 @@ def test_blank_predicate_labels_content_derived():
         return (m["_:x"], m["_:y"])
 
     assert labels("_:p0") == labels("_:zzz9")
+
+
+def test_blank_predicate_marker_in_n_degree_hashes():
+    """Blank predicates must contribute a fixed marker (not their raw label)
+    to hash-related / n-degree paths too: renaming a predicate-only blank
+    label may not change any NODE's canonical label."""
+    from jsonld_rs_spark.jsonldpy.rdf import Quad
+    from jsonld_rs_spark.jsonldpy.urdna2015 import canonical_labels
+
+    def labels(bp):
+        quads = [
+            ("@default", Quad("_:x", "http://e/r", "id", "_:y", None, None)),
+            ("@default", Quad("_:y", "http://e/r", "id", "_:x", None, None)),
+            ("@default", Quad("_:x", bp, "id", "_:z", None, None)),
+            ("@default", Quad("_:y", bp, "id", "_:w", None, None)),
+            ("@default", Quad("_:z", "http://e/v", "lit", "a", None, None)),
+            ("@default", Quad("_:w", "http://e/v", "lit", "b", None, None)),
+        ]
+        m = canonical_labels(quads)
+        return {k: m[k] for k in ("_:x", "_:y", "_:z", "_:w")}
+
+    assert labels("_:bp1") == labels("_:completely9different")

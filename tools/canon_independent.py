@@ -79,7 +79,9 @@ def hash_first_degree(state, ident):
 def hash_related(state, related, quad, issuer, position):
     data = position
     if position != "g":
-        data += quad[1]  # predicate token, already "<...>"
+        # blank predicates: fixed marker, mirroring the engine's off-spec
+        # generalized-RDF rule (urdna2015.hash_related)
+        data += "_:p" if quad[1].startswith("_:") else quad[1]
     if related in state["canon"].map:
         data += state["canon"].map[related]
     elif related in issuer.map:
