@@ -302,20 +302,25 @@ def canonicalize_dataset(
     out: Dict[str, List[Quad]] = {}
     for graph, quads in dataset.items():
         new_graph = rename(graph)
-        renamed = [
-            Quad(
-                subj=rename(q.subj),
-                # blank predicates (generalized RDF) aren't canonicalized by
-                # URDNA (not node positions), but when the same label IS a
-                # node elsewhere, renaming here keeps its identity whole
-                pred=rename(q.pred),
-                obj_kind=q.obj_kind,
-                obj_value=rename(q.obj_value) if q.obj_kind == "id" else q.obj_value,
-                obj_datatype=q.obj_datatype,
-                obj_lang=q.obj_lang,
-            )
-            for q in quads
-        ]
+        if not mapping:
+            # bnode-free document (the common web-page case): nothing to
+            # relabel, only the deterministic sort applies
+            renamed = list(quads)
+        else:
+            renamed = [
+                Quad(
+                    subj=rename(q.subj),
+                    # blank predicates (generalized RDF) aren't canonicalized
+                    # by URDNA (not node positions), but when the same label
+                    # IS a node elsewhere, renaming keeps its identity whole
+                    pred=rename(q.pred),
+                    obj_kind=q.obj_kind,
+                    obj_value=rename(q.obj_value) if q.obj_kind == "id" else q.obj_value,
+                    obj_datatype=q.obj_datatype,
+                    obj_lang=q.obj_lang,
+                )
+                for q in quads
+            ]
         renamed.sort(key=lambda q: nquad_line(new_graph, q))
         out.setdefault(new_graph, []).extend(renamed)
     return out
