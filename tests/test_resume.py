@@ -112,3 +112,23 @@ def test_write_triples_capability_fallback(spark, tmp_path):
     assert write_triples(df, out, buckets=4, table="ice.kg.triples") == "parquet"
     back = spark.read.parquet(out)
     assert back.select("bucket").distinct().count() == 1  # layout present
+
+
+def test_read_pages_resolution(spark, sf_dir, tmp_path):
+    """One source argument resolves to synth (sf dir), parquet (path), or a
+    catalog table (only with an Iceberg catalog — absent here, so it must
+    refuse loudly rather than misread a path)."""
+    import pytest as _pytest
+
+    from jsonld_rs_spark.pipeline.sources import PAGES_COLUMNS, read_pages
+
+    synth = read_pages(spark, sf_dir)
+    assert synth.columns[:5] == PAGES_COLUMNS and synth.count() > 0
+
+    out = str(tmp_path / "pages")
+    synth.limit(20).write.parquet(out)
+    back = read_pages(spark, out)
+    assert back.count() == 20 and back.columns == PAGES_COLUMNS
+
+    with _pytest.raises(ValueError, match="no Iceberg catalog"):
+        read_pages(spark, "ice.crawl.pages")

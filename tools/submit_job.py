@@ -19,10 +19,12 @@ def main() -> None:
     from jsonld_rs_spark.pipeline.components import connected_components
     from jsonld_rs_spark.pipeline.linking import sameas_edges
     from jsonld_rs_spark.pipeline.materialize import extract_and_materialize, read_triples
-    from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages
+    from jsonld_rs_spark.pipeline.sources import read_pages
+    from jsonld_rs_spark.pipeline.synth import latest_pages
     from jsonld_rs_spark.pipeline.triples import dedup_triples
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # source: sf-style dir (synth), parquet path, or Iceberg table identifier
+    source = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/kg_out"
 
     from jsonld_rs_spark.conf import session_builder
@@ -30,7 +32,7 @@ def main() -> None:
     spark = session_builder(app_name="jsonld-rs-spark-submit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = latest_pages(synthesize_pages(spark, sf_dir))
+    pages = latest_pages(read_pages(spark, source))
     paths = extract_and_materialize(pages, out_dir)
     triples = dedup_triples(read_triples(spark, out_dir))
     comps = connected_components(sameas_edges(triples))
