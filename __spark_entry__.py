@@ -127,6 +127,17 @@ def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_compacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled docs compacted against a schema.org context — the compact
+    API on the pipeline surface (rows-only; losslessness is golden-tested
+    by re-expansion in tests/test_assemble.py)."""
+    from jsonld_rs_spark.pipeline.assemble import assemble_documents, compact_documents
+
+    return compact_documents(assemble_documents(_kg_triples(spark, sf_dir))).orderBy(
+        "url"
+    )
+
+
 def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (precision, recall, n_ref, n_got): Spark extraction triples vs
     the single-threaded pure-Python reference-semantics run, over a 1-in-10
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_metrics": kg_extraction_metrics,
         "kg_assembled_docs": kg_assembled_docs,
         "kg_canonical_triples": kg_canonical_triples,
+        "kg_compacted_docs": kg_compacted_docs,
         "kg_golden_parity": kg_golden_parity,
         # relational operators
         "agg_pricing_summary": agg_pricing_summary,

@@ -83,3 +83,28 @@ def assemble_documents(triples_df: DataFrame, use_native_types: bool = True) -> 
         spark.sparkContext.defaultParallelism, "url"
     ).sortWithinPartitions("url")
     return src.mapInPandas(run, schema=ASSEMBLED_SCHEMA)
+
+
+def compact_documents(assembled_df: DataFrame, context: dict = None) -> DataFrame:
+    """Assembled expanded JSON-LD → compacted JSON-LD per url against a
+    target context (default: a schema.org vocab context) — the pipeline
+    surface of the reference's compact API (api.rs:42-71). One narrow Arrow
+    pass over the (url, jsonld) rows; compaction is per-document, so there
+    is no shuffle at all."""
+    import pandas as pd
+
+    from ..jsonldpy.compact import compact_document
+
+    ctx = context or {"@context": {"@vocab": "http://schema.org/"}}
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for url, doc_json in zip(pdf["url"], pdf["jsonld"]):
+                compacted = compact_document(json.loads(doc_json), ctx, base=url)
+                out.append((url, json.dumps(compacted, sort_keys=True)))
+            yield pd.DataFrame(out, columns=["url", "compacted"])
+
+    return assembled_df.select("url", "jsonld").mapInPandas(
+        run, schema="url string, compacted string"
+    )

@@ -54,3 +54,26 @@ def test_assembly_restores_native_types(spark, triples):
                     if isinstance(v, dict) and "@list" in v:
                         saw_list = True
     assert saw_int and saw_list
+
+
+def test_compact_documents_lossless_under_reexpansion(spark, sf_dir):
+    """compact(assembled) must re-expand to exactly the assembled expanded
+    document (compaction is a view, not a transformation)."""
+    import json as _json
+
+    import __spark_entry__ as e
+    from jsonld_rs_spark.jsonldpy import expand
+    from jsonld_rs_spark.pipeline.assemble import assemble_documents, compact_documents
+
+    assembled = assemble_documents(e._kg_triples(spark, sf_dir))
+    joined = (
+        assembled.select("url", "jsonld")
+        .join(compact_documents(assembled), "url")
+        .limit(60)
+        .collect()
+    )
+    assert len(joined) > 0
+    for r in joined:
+        original = _json.loads(r["jsonld"])
+        reexpanded = expand(_json.loads(r["compacted"]), base=r["url"])
+        assert expand(original, base=r["url"]) == reexpanded, r["url"]
