@@ -129,16 +129,19 @@ def minhash_dup_pairs(
     applies the identical cap, so the capped operator IS the verified one.
     ``max_bucket=0`` disables the cap (exact all-candidate semantics).
 
-    Plan: degenerate buckets are excluded by a BROADCAST ANTI JOIN against
-    the (tiny) over-cap bucket list BEFORE any per-bucket materialization —
-    a signature shared by millions of docs never reaches collect_list, so
-    the cap genuinely bounds aggregation memory, and the anti join adds no
-    shuffle of the exploded table (its build side is the handful of
-    degenerate signatures). Then ONE aggregate shuffle on (band, sig)
-    collects the bucket's sorted member list and a JVM expression
-    (transform×slice combination walk) expands the pairs, followed by a
-    distinct. This replaces the earlier self-join formulation, which
-    recomputed the exploded side twice (measured ~2× slower cold at
+    Plan: degenerate buckets are excluded BEFORE any per-bucket
+    materialization by an anti join against the over-cap bucket list, so a
+    signature shared by millions of docs never reaches collect_list and the
+    cap genuinely bounds aggregation memory. Honest costs: the pre-count is
+    a second aggregation pass over the (lazily checkpointed, so read-once)
+    exploded rows, and the anti join's build side is broadcast on the
+    assumption that over-cap signatures are rare — a corpus with a huge
+    number of distinct over-cap templates would need the broadcast hint
+    dropped (plain anti join) or a larger cap. The probe side is not
+    re-shuffled. Pair expansion is then ONE aggregate shuffle on
+    (band, sig) collecting each bucket's sorted member list + a JVM
+    transform×slice combination walk + distinct; the earlier self-join
+    formulation recomputed the exploded side twice (~2× slower cold at
     sf0.1)."""
     exploded = _exploded_band_sigs(docs, bands)
     if max_bucket > 0:
@@ -273,11 +276,14 @@ def embedding_near_dup(
 
     from .similarity import with_lsh_buckets
 
-    first = e.select(F.size("v").alias("d")).first()
-    if first is None or first["d"] is None:
+    # probe the dimension on a non-null vector: the arbitrary first row
+    # having a NULL embedding must not silently empty the result (review r2b)
+    first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
+    if first is None:
         return e.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
         )
+    e = e.filter(F.col("v").isNotNull())
     corpus = with_lsh_buckets(e, "v", first["d"], n_planes, n_tables).localCheckpoint()
     exploded = corpus.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
     pa, pb = exploded.alias("pa"), exploded.alias("pb")

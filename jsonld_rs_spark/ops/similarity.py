@@ -128,8 +128,11 @@ def lsh_topk(
     carries only (query_id, vec_id) ids."""
     from ..util import spread
 
+    # dimension probe must skip NULL embeddings (a null first row would
+    # otherwise silently empty the result)
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     first = embeddings.select(F.size("embedding").alias("d")).first()
-    if first is None or first["d"] is None:
+    if first is None:
         spark = embeddings.sparkSession
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
@@ -237,8 +240,9 @@ def ivf_topk(
 
     from ..util import spread
 
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     first = embeddings.select(F.size("embedding").alias("d")).first()
-    if first is None or first["d"] is None:
+    if first is None:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )

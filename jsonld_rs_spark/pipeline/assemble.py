@@ -93,18 +93,28 @@ def compact_documents(assembled_df: DataFrame, context: dict = None) -> DataFram
     is no shuffle at all."""
     import pandas as pd
 
+    from ..jsonldpy import errors as E
     from ..jsonldpy.compact import compact_document
 
-    ctx = context or {"@context": {"@vocab": "http://schema.org/"}}
+    # `is not None`: an explicit empty context (= keep absolute IRIs) must
+    # not fall through to the schema.org default
+    ctx = context if context is not None else {"@context": {"@vocab": "http://schema.org/"}}
 
     def run(batches):
         for pdf in batches:
             out = []
             for url, doc_json in zip(pdf["url"], pdf["jsonld"]):
-                compacted = compact_document(json.loads(doc_json), ctx, base=url)
-                out.append((url, json.dumps(compacted, sort_keys=True)))
-            yield pd.DataFrame(out, columns=["url", "compacted"])
+                # per-document containment (CLAUDE.md): one poison doc must
+                # never kill the task — it lands in the error column
+                try:
+                    compacted = compact_document(json.loads(doc_json), ctx, base=url)
+                    out.append((url, json.dumps(compacted, sort_keys=True), None))
+                except E.JsonLdError as exc:
+                    out.append((url, None, exc.code))
+                except (ValueError, RecursionError) as exc:
+                    out.append((url, None, type(exc).__name__))
+            yield pd.DataFrame(out, columns=["url", "compacted", "error"])
 
     return assembled_df.select("url", "jsonld").mapInPandas(
-        run, schema="url string, compacted string"
+        run, schema="url string, compacted string, error string"
     )

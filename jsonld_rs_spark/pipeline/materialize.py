@@ -81,11 +81,10 @@ def write_triples(
         )
         if mode == "overwrite":
             writer.createOrReplace()
+        elif spark.catalog.tableExists(table):
+            writer.append()  # real append failures propagate undisturbed
         else:
-            try:
-                writer.append()
-            except Exception:  # first write: table doesn't exist yet
-                writer.create()
+            writer.create()
         return "iceberg"
     bucketed(triples_df, buckets).write.mode(mode).partitionBy("bucket").parquet(path)
     return "parquet"

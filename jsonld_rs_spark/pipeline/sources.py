@@ -27,21 +27,30 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
 def read_pages(spark: SparkSession, source: str, replicate: int = 1) -> DataFrame:
-    """Resolve ``source`` to the crawl DataFrame (see module docstring)."""
-    looks_like_table = (
-        not os.path.exists(source) and "/" not in source and "." in source
-    )
-    if looks_like_table:
-        if iceberg_catalog(spark) is None:
-            raise ValueError(
-                f"'{source}' looks like a catalog table identifier but no "
-                "Iceberg catalog is configured on this session"
-            )
-        return spark.read.table(source).select(*PAGES_COLUMNS)
+    """Resolve ``source`` to the crawl DataFrame (see module docstring).
+
+    ``replicate`` is a synthesis-only knob (it scales the synthetic page
+    count); passing it with a real table/path is refused rather than
+    silently ignored — a scaling bench pointed at real data must not be
+    off by ×replicate."""
     if os.path.isdir(source) and os.path.exists(
         os.path.join(source, "documents.parquet")
     ):
         from .synth import synthesize_pages
 
         return synthesize_pages(spark, source, replicate)
+    if replicate != 1:
+        raise ValueError("replicate only applies to synthesized sf-dir sources")
+    # a table identifier only if it cannot be a file path: existing paths,
+    # slashes, and parquet suffixes all route to the file reader (a typo'd
+    # relative path must surface as file-not-found, not a catalog error)
+    looks_like_table = (
+        not os.path.exists(source)
+        and "/" not in source
+        and "." in source
+        and not source.endswith(".parquet")
+        and iceberg_catalog(spark) is not None
+    )
+    if looks_like_table:
+        return spark.read.table(source).select(*PAGES_COLUMNS)
     return spark.read.parquet(source).select(*PAGES_COLUMNS)

@@ -130,5 +130,10 @@ def test_read_pages_resolution(spark, sf_dir, tmp_path):
     back = read_pages(spark, out)
     assert back.count() == 20 and back.columns == PAGES_COLUMNS
 
-    with _pytest.raises(ValueError, match="no Iceberg catalog"):
-        read_pages(spark, "ice.crawl.pages")
+    # without a catalog, a dotted identifier routes to the file reader and
+    # surfaces as a path error (never a misleading catalog error)
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist|ice.crawl.pages"):
+        read_pages(spark, "ice.crawl.pages").count()
+    # replicate is synthesis-only
+    with _pytest.raises(ValueError, match="replicate"):
+        read_pages(spark, out, replicate=4)
