@@ -118,6 +118,13 @@ def main() -> None:
 
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
     tps, n_triples, extract_sec = kg_throughput(spark, SF_DIR, replicate=replicate)
+    # host-noise probe: single-thread sha256 burn. ~1.2-1.6 s on a quiet
+    # window of this shared-host VM; >2.5 s means neighbors are stealing CPU
+    # and every wall-clock number in this line is inflated (BASELINE.md
+    # methodology — identical runs vary up to 5× under contention).
+    t0 = time.monotonic()
+    _sha_burn(2_000_000)
+    noise_probe = round(time.monotonic() - t0, 3)
     result = {
         "metric": "kg_pipeline_headline_total",
         "value": round(sum(per_query.values()), 3),
@@ -134,6 +141,7 @@ def main() -> None:
         "n_triples": n_triples,
         "extract_sec": round(extract_sec, 3),
         "throughput_replicate": replicate,
+        "host_noise_probe_sec": noise_probe,
         "cpus": CPUS,
     }
 
