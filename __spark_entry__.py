@@ -558,6 +558,26 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+def embedding_capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side table of embedding-LSH buckets excluded by the production cap
+    (mirrors minhash_capped_buckets_docs; empty on this corpus — the cap
+    exists for degenerate 100 TB clusters, and the planted-cluster test in
+    tests/test_ops.py exercises the non-empty path)."""
+    from jsonld_rs_spark.ops.dedup import embedding_degenerate_buckets
+
+    return embedding_degenerate_buckets(_t(spark, sf_dir, "embeddings")).orderBy(
+        "t", "bucket"
+    )
+
+
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster representatives: MinHash pairs → connected components →
+    (doc_id, representative) with deterministic min-id representative."""
+    from jsonld_rs_spark.ops.dedup import dup_clusters
+
+    return dup_clusters(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.similarity import brute_force_topk
 
@@ -645,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "embedding_capped_buckets": embedding_capped_buckets,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -730,15 +752,32 @@ def _lsh_base_cte() -> str:
     buckets = ",\n             ".join(
         f"{_lsh_bucket_sql('v', t)} AS b{t}" for t in range(4)
     )
+    # the NOT NULL filter mirrors the operator's isNotNull pre-filter
+    # (ADVICE r2: the twin must apply the same row-dropping predicate)
     return f"""
         WITH c AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL
         ), b AS (
           SELECT vec_id, v,
              {buckets}
           FROM c
         )
     """
+
+
+# identical degenerate-bucket cap as the operator, imported so they can't
+# drift (mirrors _MINHASH_CAP)
+from jsonld_rs_spark.ops.dedup import EMBEDDING_MAX_BUCKET as _EMB_CAP  # noqa: E402
+
+_EMB_EXPLODED_CTE = """
+        , eb AS (
+          SELECT vec_id, 0 AS t, b0 AS bucket FROM b
+          UNION ALL SELECT vec_id, 1, b1 FROM b
+          UNION ALL SELECT vec_id, 2, b2 FROM b
+          UNION ALL SELECT vec_id, 3, b3 FROM b
+        )
+"""
 
 
 _COS_SQL = (
@@ -1093,12 +1132,18 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
         """,
         "embedding_near_dup_lsh": _lsh_base_cte()
+        + _EMB_EXPLODED_CTE
         + f"""
-        , pairs AS (
+        , kept AS (
+          SELECT e.vec_id, e.t, e.bucket
+          FROM eb e
+          JOIN (SELECT t, bucket FROM eb
+                GROUP BY t, bucket HAVING count(*) <= {_EMB_CAP}) k
+            ON e.t = k.t AND e.bucket = k.bucket
+        ), pairs AS (
           SELECT DISTINCT a.vec_id AS vec_a, z.vec_id AS vec_b
-          FROM b a JOIN b z
-            ON a.vec_id < z.vec_id
-           AND (a.b0 = z.b0 OR a.b1 = z.b1 OR a.b2 = z.b2 OR a.b3 = z.b3)
+          FROM kept a JOIN kept z
+            ON a.t = z.t AND a.bucket = z.bucket AND a.vec_id < z.vec_id
         )
         SELECT vec_a, vec_b, {_COS_SQL.format(x="x.v", y="y.v")} AS cosine
         FROM pairs
@@ -1106,6 +1151,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN b y ON y.vec_id = vec_b
         WHERE {_COS_SQL.format(x="x.v", y="y.v")} >= 0.4
         ORDER BY vec_a, vec_b
+        """,
+        "embedding_capped_buckets": _lsh_base_cte()
+        + _EMB_EXPLODED_CTE
+        + f"""
+        SELECT t, bucket, count(*) AS n_vecs
+        FROM eb GROUP BY t, bucket
+        HAVING count(*) > {_EMB_CAP}
+        ORDER BY t, bucket
+        """,
+        "dedup_clusters_docs": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _MINHASH_EXPLODED_CTE
+        + """
+        , pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ), rep AS (
+          SELECT a AS doc_id, min(b) AS representative FROM reach GROUP BY a
+        )
+        SELECT d.doc_id, coalesce(r.representative, d.doc_id) AS representative
+        FROM documents d LEFT JOIN rep r USING (doc_id)
+        ORDER BY doc_id
         """,
         "ann_topk_ivf": """
             WITH c AS (

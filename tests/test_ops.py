@@ -266,6 +266,96 @@ def test_minhash_degenerate_corpus_bounded(spark):
     assert minhash_dup_pairs(small, max_bucket=0).count() == 60 * 59 // 2
 
 
+def test_embedding_lsh_degenerate_cluster_bounded(spark):
+    """1k-member near-identical embedding cluster — the LSH tier's own
+    target workload (VERDICT r2 #1): the production cap must keep the pair
+    count bounded (the cluster's buckets are excluded, not exploded into
+    O(10⁶) pairs in one task) and the excluded buckets must land in the
+    side table. Normal twins outside the cluster still match."""
+    import numpy as np
+
+    from jsonld_rs_spark.ops.dedup import (
+        embedding_degenerate_buckets,
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = [(i, [float(x) for x in base], 0) for i in range(1000)]
+    # a distinct twin pair far from the cluster
+    other = rng.normal(size=64)
+    rows.append((100000, [float(x) for x in other], 1))
+    rows.append((100001, [float(x) for x in other * 1.001], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    pairs = embedding_near_dup(emb, threshold=0.999, max_bucket=100).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    # cluster pairs excluded (≤ cross pairs possible), twin pair survives
+    assert (100000, 100001) in found
+    assert len(found) < 1000  # not the ~500k uncapped explosion
+    side = embedding_degenerate_buckets(emb, max_bucket=100).collect()
+    assert len(side) >= 4  # the cluster saturates one bucket per table
+    assert all(r["n_vecs"] >= 1000 for r in side)
+
+
+def test_minhash_uncapped_selfjoin_matches_capped(spark, docs):
+    """max_bucket=0 (memory-safe self-join formulation) and a never-binding
+    cap (collect_list formulation) must produce the identical pair set."""
+    # filter, not limit: GlobalLimit is a wide node spread() refuses to probe
+    small = docs.filter(F.col("doc_id") < 80)
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dup_pairs(small, max_bucket=0).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dup_pairs(small, max_bucket=10**9).collect()
+    }
+    assert a == b
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """dup_clusters (pairs → connected components → min-id representative)
+    vs a driver-side union-find golden on planted duplicate groups."""
+    from jsonld_rs_spark.ops.dedup import dup_clusters, minhash_dup_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    ]
+    rows = []
+    for g, t in enumerate(texts):
+        for i in range(5):  # 5 identical copies per group
+            rows.append((g * 100 + i, t, "en", "s", 0))
+    rows.append((900, "a completely unrelated singleton document body", "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    got = {
+        r["doc_id"]: r["representative"] for r in dup_clusters(docs).collect()
+    }
+
+    # union-find golden over the same candidate pairs
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in minhash_dup_pairs(docs).collect():
+        ra, rb = find(p["doc_a"]), find(p["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    golden = {d: find(d) for d in parent}
+    assert got == golden
+    assert got[900] == 900  # singleton is its own representative
+    assert got[104] == 100  # min-id representative within a group
+
+
 def test_ivf_topk_recall_floor_on_clustered_corpus(spark):
     """IVF with probe=4 of 16 cells on clustered data: recall@10 must be
     high (the probed cells contain the query's cluster)."""
