@@ -591,8 +591,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: stride-sampled codebook, nearest-cell inverted lists,
-    probe-4-cells exact re-rank. Codebook is reproduced verbatim in SQL."""
+    """IVF-flat ANN: hash-sampled codebook (√n centroids, √centroids probe
+    cells — the encoded scale rules), nearest-cell inverted lists, exact
+    re-rank on probed candidates. Codebook + parameter derivation are
+    reproduced verbatim in SQL."""
     from jsonld_rs_spark.ops.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
@@ -1184,11 +1186,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": """
             WITH c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL
             ), p AS (
-              SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS stride FROM c
+              SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT), 4096) AS k
+              FROM c
+            ), p2 AS (
+              SELECT k,
+                     least(k, greatest(4, CAST(ceil(sqrt(k)) AS BIGINT))) AS n_probe
+              FROM p
+            ), ranked AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     v AS cv
+              FROM c
             ), cents AS (
-              SELECT CAST(vec_id // stride AS BIGINT) AS cid, v AS cv
-              FROM c, p WHERE vec_id % stride = 0
+              SELECT cid, cv FROM ranked, p2 WHERE cid < k
             ), sims AS (
               SELECT c.vec_id, c.v, cents.cid,
                      list_dot_product(c.v, cents.cv)
@@ -1206,7 +1218,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
                 FROM sims WHERE vec_id < 5
-              ) WHERE rn <= 4
+              ) x, p2 WHERE x.rn <= p2.n_probe
             ), cand AS (
               SELECT DISTINCT probe.query_id, assign.vec_id
               FROM probe JOIN assign ON assign.cell = probe.cell

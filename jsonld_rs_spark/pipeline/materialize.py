@@ -76,6 +76,12 @@ def write_triples(
     Returns which sink was used ('iceberg' | 'parquet')."""
     spark = triples_df.sparkSession
     if table is not None and iceberg_catalog(spark) is not None:
+        # the writeTo API has no notion of Spark save modes beyond these two;
+        # 'ignore'/'error' must raise, not silently become append (ADVICE r2)
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"Iceberg sink supports mode 'overwrite' or 'append', got {mode!r}"
+            )
         writer = triples_df.writeTo(table).partitionedBy(
             F.bucket(buckets, F.col("subj"))
         )

@@ -41,9 +41,17 @@ def read_pages(spark: SparkSession, source: str, replicate: int = 1) -> DataFram
         return synthesize_pages(spark, source, replicate)
     if replicate != 1:
         raise ValueError("replicate only applies to synthesized sf-dir sources")
-    # a table identifier only if it cannot be a file path: existing paths,
-    # slashes, and parquet suffixes all route to the file reader (a typo'd
-    # relative path must surface as file-not-found, not a catalog error)
+    # explicit routing beats guessing: 'table:catalog.db.name' always goes to
+    # the session catalog (works for Hive or any other configured catalog,
+    # not just Iceberg — ADVICE r2: a valid non-Iceberg identifier must not
+    # fall through to a misleading parquet path error)
+    if source.startswith("table:"):
+        return spark.read.table(source[len("table:"):]).select(*PAGES_COLUMNS)
+    # otherwise a table identifier only if it cannot be a file path: existing
+    # paths, slashes, and parquet suffixes all route to the file reader (a
+    # typo'd relative path must surface as file-not-found, not a catalog
+    # error). The bare-identifier auto-route is Iceberg-gated; other
+    # catalogs use the explicit 'table:' prefix.
     looks_like_table = (
         not os.path.exists(source)
         and "/" not in source

@@ -160,4 +160,10 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.table(name).orderBy("day_bucket", "event_type")
+    # copy the sink's rows (localCheckpoint materializes them), then drop the
+    # uuid-named memory-sink table — repeated invocations in one session
+    # (bench runs 3 trials) must not accumulate sink tables for the session
+    # lifetime (ADVICE r2)
+    result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return result.orderBy("day_bucket", "event_type")
