@@ -140,38 +140,86 @@ def kg_compacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (precision, recall, n_ref, n_got): Spark extraction triples vs
-    the single-threaded pure-Python reference-semantics run, over a 1-in-10
-    deterministic document sample (tests/test_pipeline.py runs the full-corpus
-    twin at sf0.001; this exposes the P/R≥0.95 gate to the driver — the
-    VALUES are the gate, so this is a rows-only query by design)."""
-    import pandas as pd
+    the pure-Python reference-semantics run, over a 1-in-10 deterministic
+    document sample (tests/test_pipeline.py runs the full-corpus twin at
+    sf0.001; this exposes the P/R≥0.95 gate to the driver — the VALUES are
+    the gate, so this is a rows-only query by design).
 
+    Fully distributed (VERDICT r2 #5): the golden rows are produced by the
+    same single-document reference-semantics code, but as a mapInPandas over
+    the sampled docs; TP/FP/FN come from a sentinel-normalized full-outer
+    join + one aggregate, so the only collect is the final 1-row result and
+    the gate scales with the corpus it samples."""
     from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
     from jsonld_rs_spark.pipeline.synth import synthesize_rows
     from jsonld_rs_spark.pipeline.triples import (
+        TRIPLE_COLUMNS,
         doc_to_quad_rows,
         extract_records,
         split_records,
     )
+    from jsonld_rs_spark.util import spread
 
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-    docs = docs[docs.doc_id % 10 == 0]
-    golden = set()
-    urls = []
-    for d in docs.itertuples():
-        crawls = list(synthesize_rows(int(d.doc_id), d.text, d.lang, d.source))
-        latest = max(crawls, key=lambda r: r["warc_ts"])
-        urls.append(latest["url"])
-        for row in doc_to_quad_rows(latest["url"], latest["html"], BUILTIN_CONTEXTS):
-            golden.add(tuple(row))
-    pages = _pages(spark, sf_dir).filter(F.col("url").isin(urls))
-    got = {tuple(r) for r in split_records(extract_records(pages))[0].collect()}
-    tp = len(golden & got)
-    precision = tp / len(got) if got else 0.0
-    recall = tp / len(golden) if golden else 0.0
-    return spark.createDataFrame(
-        [(round(precision, 6), round(recall, 6), len(golden), len(got))],
-        "precision double, recall double, n_ref long, n_got long",
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    golden_schema = (
+        "url string, graph string, subj string, pred string, obj_kind string,"
+        " obj_value string, obj_datatype string, obj_lang string"
+    )
+
+    def golden_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf.itertuples():
+                crawls = list(
+                    synthesize_rows(int(d.doc_id), d.text, d.lang, d.source)
+                )
+                latest = max(crawls, key=lambda r: r["warc_ts"])
+                rows.extend(
+                    doc_to_quad_rows(latest["url"], latest["html"], BUILTIN_CONTEXTS)
+                )
+            yield pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
+
+    golden = (
+        spread(docs.select("doc_id", "text", "lang", "source"))
+        .mapInPandas(golden_rows, golden_schema)
+        .localCheckpoint(eager=False)  # two consumers: urls + the join
+    )
+    urls = golden.select("url").distinct()
+    pages = _pages(spark, sf_dir).join(F.broadcast(urls), "url", "left_semi")
+    got = split_records(extract_records(pages))[0]
+
+    # full-outer equality must treat NULL==NULL the way the old set compare
+    # did — normalize nullable columns to a sentinel before joining
+    sentinel = "\x00"
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.coalesce(F.col(c), F.lit(sentinel)).alias(c) for c in TRIPLE_COLUMNS]
+        ).distinct()
+
+    g = norm(golden).withColumn("g", F.lit(1))
+    s = norm(got).withColumn("s", F.lit(1))
+    joined = g.join(s, TRIPLE_COLUMNS, "full_outer")
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("g").isNotNull() & F.col("s").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_got"),
+    )
+    return agg.select(
+        F.round(
+            F.when(F.col("n_got") > 0, F.col("tp") / F.col("n_got")).otherwise(0.0), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_ref") > 0, F.col("tp") / F.col("n_ref")).otherwise(0.0), 6
+        ).alias("recall"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_got").cast("long").alias("n_got"),
     )
 
 

@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, batch shape, partition sizing, UDF signatures)
-is real and tested. The actual codec work is STUBBED — this container has
-no image/audio libraries — behind ``decode_stub``: a deterministic fake
-that "decodes" a payload into (width, height, n_frames) derived from its
-bytes, and raises ``NotImplementedError`` when ``strict=True`` so callers
-can't mistake it for a real decoder.
+is real and tested. The codec is selected by a capability probe
+(``decode_media``): Pillow decodes image payloads when installed; absent
+that — this container has no image/audio libraries — ``decode_stub`` is a
+deterministic fake that "decodes" a payload into (width, height, n_frames)
+derived from its bytes, and raises ``NotImplementedError`` when
+``strict=True`` so callers can't mistake it for a real decoder.
 
 At 100 TB the rules encoded here matter more than the codec:
 * payloads are NEVER shuffled — feature extraction is a narrow
@@ -72,6 +73,38 @@ def decode_stub(payload: bytes, kind: str, strict: bool = False):
     return width, height, n_frames
 
 
+def _pil_module():
+    """Capability probe for a real image codec — same pattern as
+    materialize.iceberg_catalog(): the feature lights up when the library
+    exists, with an honest fallback otherwise (VERDICT r2 #8). Returns the
+    PIL.Image module or None (this container has no Pillow)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_media(payload: bytes, kind: str, strict: bool = False):
+    """Decode selected by capability probe: Pillow for image payloads when
+    installed (real width/height, n_frames=1), the deterministic stub
+    otherwise. A present-but-undecodable payload (e.g. this sandbox's
+    synthetic utf-8 'images') also falls back to the stub rather than
+    failing the whole partition — per-item containment, like the
+    extraction stage's quarantine rule."""
+    pil = _pil_module()
+    if kind == "image" and pil is not None:
+        import io
+
+        try:
+            with pil.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, 1
+        except Exception:
+            return decode_stub(payload, kind, strict=strict)
+    return decode_stub(payload, kind, strict=strict)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Narrow mapInPandas: payload → small typed feature row. Payload bytes
     do not survive this stage — nothing heavy is ever shuffled."""
@@ -88,7 +121,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
-                width, height, n_frames = decode_stub(data, kind)
+                width, height, n_frames = decode_media(data, kind)
                 rows.append(
                     (
                         int(media_id),
@@ -139,7 +172,7 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
-                _w, _h, n_frames = decode_stub(data, kind)
+                _w, _h, n_frames = decode_media(data, kind)
                 for idx in range(0, n_frames, every_n):
                     sha = hashlib.sha256(
                         data + b"|" + str(idx).encode("ascii")
@@ -168,7 +201,7 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
-                w, h, _n = decode_stub(data, kind)
+                w, h, _n = decode_media(data, kind)
                 scale = min(1.0, max_dim / max(w, h))
                 new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
                 new_len = max(1, int(len(data) * scale * scale))

@@ -194,6 +194,20 @@ def test_decode_stub_strict_raises():
         decode_stub(b"bytes", "image", strict=True)
 
 
+def test_decode_media_probe_selects_stub_here():
+    """Capability probe: no Pillow in this container → decode_media must
+    select the deterministic stub (and equal it bit-for-bit); when Pillow
+    exists the image branch takes over (exercised implicitly on real
+    deployments — the probe is the tested contract here)."""
+    from jsonld_rs_spark.ops.multimodal import _pil_module, decode_media
+
+    assert _pil_module() is None
+    for kind in ("image", "audio", "video"):
+        assert decode_media(b"payload bytes", kind) == decode_stub(
+            b"payload bytes", kind
+        )
+
+
 def test_minhash_bucket_cap_prunes_degenerate_buckets(spark, docs):
     from jsonld_rs_spark.ops.dedup import minhash_dup_pairs
 
