@@ -78,6 +78,12 @@ def resolve(base: str, reference: str) -> str:
     up to its last '/' + reference (RFC 3986 §5.3, no dot-segments)."""
     if has_scheme(reference):
         return reference
+    if reference == "":
+        # RFC 3986 §5.2.2: T.fragment = R.fragment = undefined — the empty
+        # reference is the base WITHOUT its fragment. urljoin('x#f', '')
+        # returns base unchanged (urllib quirk); the reference's url crate
+        # (WHATWG parser) drops the fragment, as the RFC does.
+        return base.split("#", 1)[0]
     if (
         reference
         and "?" not in base

@@ -608,6 +608,690 @@ CASES = [
     ),
 ]
 
+# Round-3 long-tail additions (VERDICT r2 #3): IRI-resolution corners
+# (RFC3986 dot-segments, network-path refs, query/fragment merge), container
+# map × @reverse composition, exotic container combinations, and value/list/
+# graph corners mirroring the genuine W3C suite's odd corners. Same review
+# protocol: outputs generated by jsonldpy, then hand-checked line-by-line
+# against JSON-LD 1.0 §expansion + RFC3986 §5 before committing.
+CASES += [
+    (
+        "t0051",
+        "RFC3986: ../ dot-segment resolves to parent of base directory",
+        {
+            "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+            "@id": "../x",
+            "p": "../../y",
+        },
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0052",
+        "RFC3986: ./ dot-segment resolves within base directory",
+        {"@id": "./x", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0053",
+        "RFC3986: empty reference resolves to base itself (sans fragment)",
+        {"@id": "", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c#frag"},
+    ),
+    (
+        "t0054",
+        "RFC3986: fragment-only reference appends to full base",
+        {"@id": "#frag", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c?q=0"},
+    ),
+    (
+        "t0055",
+        "RFC3986: query-only reference replaces base query, keeps path",
+        {"@id": "?q=1", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c?old=9"},
+    ),
+    (
+        "t0056",
+        "RFC3986: network-path reference adopts base scheme only",
+        {"@id": "//other.example/p", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0057",
+        "RFC3986: absolute-path reference replaces whole base path",
+        {"@id": "/r/s", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0058",
+        "RFC3986: excess ../ segments clamp at root",
+        {"@id": "x/../../../y", "http://e/p": "v"},
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0059",
+        "RFC3986: 'g.' and '.g' are ordinary segments, not dot-segments",
+        {
+            "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+            "@id": "g.",
+            "p": ".g",
+        },
+        {"base": "https://site.example/a/b/c"},
+    ),
+    (
+        "t0060",
+        "RFC3986: authority-only base gains / before relative path",
+        {"@id": "x", "http://e/p": "v"},
+        {"base": "https://h.example"},
+    ),
+    (
+        "t0061",
+        "RFC3986: relative path drops base query AND fragment, keeps its own query",
+        {"@id": "y?q2", "http://e/p": "v"},
+        {"base": "https://s.example/d/e?bq=1#bf"},
+    ),
+    (
+        "t0062",
+        "opaque schemes (urn:, mailto:) pass through untouched",
+        {
+            "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+            "@id": "urn:uuid:11111111-2222-3333-4444-555555555555",
+            "p": ["mailto:alice@site.example", "tag:site.example,2024:x"],
+        },
+        {},
+    ),
+    (
+        "t0063",
+        "percent-encoding and raw unicode in @id survive resolution",
+        {"@id": "caf%C3%A9/résumé", "http://e/p": "v"},
+        {"base": "https://site.example/a/"},
+    ),
+    (
+        "t0064",
+        "reverse term with @container @set keeps reverse routing",
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e/parentOf", "@container": "@set"}
+            },
+            "@id": "http://e/alice",
+            "childOf": [{"@id": "http://e/bob"}, {"@id": "http://e/carol"}],
+        },
+        {},
+    ),
+    (
+        "t0065",
+        "reverse term with @type:@id coercion turns strings into node refs",
+        {
+            "@context": {
+                "memberOf": {"@reverse": "http://e/hasMember", "@type": "@id"}
+            },
+            "@id": "http://e/team",
+            "memberOf": ["http://e/a", "people/b"],
+        },
+        {"base": "https://site.example/dir/"},
+    ),
+    (
+        "t0066",
+        "@reverse map mixing term-mapped and absolute-IRI keys",
+        {
+            "@context": {"knows": "http://e/knows"},
+            "@id": "http://e/a",
+            "@reverse": {
+                "knows": {"@id": "http://e/b"},
+                "http://e/likes": {"@id": "http://e/c"},
+            },
+        },
+        {},
+    ),
+    (
+        "t0067",
+        "reverse term values carrying their own forward properties",
+        {
+            "@context": {"childOf": {"@reverse": "http://e/parentOf"}},
+            "@id": "http://e/alice",
+            "childOf": {
+                "@id": "http://e/bob",
+                "http://e/name": "Bob",
+                "http://e/age": 7,
+            },
+        },
+        {},
+    ),
+    (
+        "t0068",
+        "keyword alias for @reverse works as a node key",
+        {
+            "@context": {"rev": "@reverse"},
+            "@id": "http://e/a",
+            "rev": {"http://e/knows": {"@id": "http://e/b"}},
+        },
+        {},
+    ),
+    (
+        "t0069",
+        "language map keys normalize to lowercase",
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            },
+            "@id": "http://e/x",
+            "label": {"EN-US": "color", "DE": "Farbe"},
+        },
+        {},
+    ),
+    (
+        "t0070",
+        "language map entries with array values tag each member",
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            },
+            "@id": "http://e/x",
+            "label": {"en": ["a", "b"], "fr": "c"},
+        },
+        {},
+    ),
+    (
+        "t0071",
+        "datatype coercion suppresses the default language",
+        {
+            "@context": {
+                "@language": "en",
+                "plain": "http://e/plain",
+                "dated": {
+                    "@id": "http://e/dated",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                },
+            },
+            "@id": "http://e/x",
+            "plain": "hello",
+            "dated": "2020-01-02",
+        },
+        {},
+    ),
+    (
+        "t0072",
+        "default language tags strings only — numbers and booleans stay bare",
+        {
+            "@context": {"@language": "en"},
+            "@id": "http://e/x",
+            "http://e/p": ["word", 3, True, 2.5],
+        },
+        {},
+    ),
+    (
+        "t0073",
+        "index map whose values are node objects with @id",
+        {
+            "@context": {
+                "byday": {"@id": "http://e/byday", "@container": "@index"}
+            },
+            "@id": "http://e/x",
+            "byday": {
+                "mon": {"@id": "http://e/m", "http://e/n": 1},
+                "tue": {"@id": "http://e/t", "http://e/n": 2},
+            },
+        },
+        {},
+    ),
+    (
+        "t0074",
+        "index map entries with array values attach the index to each member",
+        {
+            "@context": {"tag": {"@id": "http://e/tag", "@container": "@index"}},
+            "@id": "http://e/x",
+            "tag": {"a": ["x", "y"], "b": "z"},
+        },
+        {},
+    ),
+    (
+        "t0075",
+        "index container composed with @type:@id coercion",
+        {
+            "@context": {
+                "link": {
+                    "@id": "http://e/link",
+                    "@container": "@index",
+                    "@type": "@id",
+                }
+            },
+            "@id": "http://e/x",
+            "link": {"one": "a/1", "two": ["a/2", "a/3"]},
+        },
+        {"base": "https://site.example/d/"},
+    ),
+    (
+        "t0076",
+        "value objects carrying @index are preserved verbatim",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@value": "v", "@index": "k"},
+        },
+        {},
+    ),
+    (
+        "t0077",
+        "empty @list stays an empty list object",
+        {"@id": "http://e/x", "http://e/l": {"@list": []}},
+        {},
+    ),
+    (
+        "t0078",
+        "null entries inside @list drop, list survives",
+        {"@id": "http://e/x", "http://e/l": {"@list": ["a", None, "b", None]}},
+        {},
+    ),
+    (
+        "t0079",
+        "@list with @index keeps both",
+        {
+            "@id": "http://e/x",
+            "http://e/l": {"@list": [1, 2], "@index": "pos"},
+        },
+        {},
+    ),
+    (
+        "t0080",
+        "@container @list composed with term @language tags each item",
+        {
+            "@context": {
+                "words": {
+                    "@id": "http://e/words",
+                    "@container": "@list",
+                    "@language": "fr",
+                }
+            },
+            "@id": "http://e/x",
+            "words": ["un", "deux"],
+        },
+        {},
+    ),
+    (
+        "t0081",
+        "list inside a named-graph node inside an index map (composition)",
+        {
+            "@context": {"g": {"@id": "http://e/g", "@container": "@index"}},
+            "@id": "http://e/x",
+            "g": {
+                "k": {
+                    "@id": "http://e/graph1",
+                    "@graph": [
+                        {"@id": "http://e/n", "http://e/l": {"@list": ["a", "b"]}}
+                    ],
+                }
+            },
+        },
+        {},
+    ),
+    (
+        "t0082",
+        "named-graph node with @index keeps both faces",
+        {
+            "@id": "http://e/g",
+            "@index": "ix",
+            "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+        {},
+    ),
+    (
+        "t0083",
+        "named graph nested inside a named-graph member node",
+        {
+            "@id": "http://e/outer",
+            "@graph": [
+                {
+                    "@id": "http://e/inner",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+                    "http://e/meta": "m",
+                }
+            ],
+        },
+        {},
+    ),
+    (
+        "t0084",
+        "aliased @graph on a node with @id forms a named graph",
+        {
+            "@context": {"g": "@graph", "meta": "http://e/meta"},
+            "@id": "http://e/g1",
+            "meta": "m",
+            "g": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+        {},
+    ),
+    (
+        "t0085",
+        "explicit @value with native number and custom datatype",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@value": 5, "@type": "http://e/dt/byte"},
+        },
+        {},
+    ),
+    (
+        "t0086",
+        "term datatype coercion attaches @type to string values",
+        {
+            "@context": {
+                "born": {"@id": "http://e/born", "@type": "http://e/dt/date"}
+            },
+            "@id": "http://e/x",
+            "born": ["1999-01-01", "2000-02-02"],
+        },
+        {},
+    ),
+    (
+        "t0087",
+        "explicit @value boolean with custom datatype passes through",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@value": True, "@type": "http://e/dt/flag"},
+        },
+        {},
+    ),
+    (
+        "t0088",
+        "relative @base in local context resolves against document base",
+        {
+            "@context": {"@base": "sub/"},
+            "@id": "x",
+            "http://e/p": "v",
+        },
+        {"base": "https://site.example/a/"},
+    ),
+    (
+        "t0089",
+        "@base: null clears the base; relative @id stays relative (reference "
+        "expand_iri: unresolvable document-relative values pass through)",
+        {
+            "@context": {"@base": None},
+            "@id": "rel/x",
+            "http://e/p": "v",
+        },
+        {"base": "https://site.example/a/"},
+    ),
+    (
+        "t0090",
+        "vocab chaining: term defined via another term as prefix",
+        {
+            "@context": {"a": "http://e/ns#", "b": "a:x"},
+            "@id": "http://e/s",
+            "b": "v",
+            "a:y": "w",
+        },
+        {},
+    ),
+    (
+        "t0091",
+        "@vocab of '_:' expands bare properties to blank node identifiers "
+        "(generalized RDF)",
+        {
+            "@context": {"@vocab": "_:"},
+            "@id": "http://e/s",
+            "p": "v",
+        },
+        {},
+    ),
+    (
+        "t0092",
+        "nested context changes a term's container for the subtree only",
+        {
+            "@context": {"tags": {"@id": "http://e/tags", "@container": "@list"}},
+            "@id": "http://e/x",
+            "tags": ["a", "b"],
+            "http://e/child": {
+                "@context": {"tags": {"@id": "http://e/tags", "@container": "@set"}},
+                "@id": "http://e/y",
+                "tags": ["c", "d"],
+            },
+        },
+        {},
+    ),
+    (
+        "t0093",
+        "array context: second member defines terms atop first's mappings",
+        {
+            "@context": [
+                {"@vocab": "http://e/v#"},
+                {"special": {"@id": "http://e/special", "@type": "@id"}},
+            ],
+            "@id": "http://e/x",
+            "plain": "p",
+            "special": "http://e/target",
+        },
+        {},
+    ),
+    (
+        "t0094",
+        "colon-free keys with no vocab mapping drop silently",
+        {
+            "@context": {"known": "http://e/known"},
+            "@id": "http://e/x",
+            "known": "k",
+            "unknownkey": "dropped",
+        },
+        {},
+    ),
+    (
+        "t0095",
+        "term @id referencing another term resolves through it",
+        {
+            "@context": {"name": "http://e/name", "label": {"@id": "name"}},
+            "@id": "http://e/x",
+            "label": "v",
+        },
+        {},
+    ),
+    (
+        "t0096",
+        "node with only @id and @type survives at top level",
+        {"@id": "http://e/x", "@type": "http://e/T"},
+        {},
+    ),
+    (
+        "t0097",
+        "empty object as property value stays an (empty) node object",
+        {"@id": "http://e/x", "http://e/p": {}},
+        {},
+    ),
+    (
+        "t0098",
+        "node reference values resolve relative @id against base",
+        {"@id": "http://e/x", "http://e/p": {"@id": "other"}},
+        {"base": "https://site.example/a/"},
+    ),
+    (
+        "t0099",
+        "@type array mixes terms, prefixed names, and absolute IRIs",
+        {
+            "@context": {"Person": "http://e/types/Person", "ns": "http://e/ns#"},
+            "@id": "http://e/x",
+            "@type": ["Person", "ns:Agent", "http://e/types/Thing"],
+        },
+        {},
+    ),
+    (
+        "t0100",
+        "unicode literals and unicode language-map values survive raw",
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            },
+            "@id": "http://e/x",
+            "label": {"ja": "日本語", "el": "ελλ"},
+            "http://e/emoji": "😀",
+        },
+        {},
+    ),
+    (
+        "t0101",
+        "four levels of anonymous nested nodes expand in place",
+        {
+            "@id": "http://e/x",
+            "http://e/a": {
+                "http://e/b": {"http://e/c": {"http://e/d": {"http://e/leaf": 1}}}
+            },
+        },
+        {},
+    ),
+    (
+        "t0102",
+        "nested arrays inside @set unwrap and splice recursively",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@set": [["a", "b"], "c", [["d"]]]},
+        },
+        {},
+    ),
+    (
+        "t0103",
+        "negative zero and denormal doubles keep native values",
+        {
+            "@id": "http://e/x",
+            "http://e/nz": -0.0,
+            "http://e/denorm": 5e-324,
+        },
+        {},
+    ),
+    (
+        "t0104",
+        "aliased @index works on both value and node objects",
+        {
+            "@context": {"ix": "@index"},
+            "@id": "http://e/x",
+            "http://e/v": {"@value": "v", "ix": "k1"},
+            "http://e/n": {"@id": "http://e/y", "ix": "k2"},
+        },
+        {},
+    ),
+    (
+        "t0105",
+        "index map emission is key-sorted and deterministic",
+        {
+            "@context": {"m": {"@id": "http://e/m", "@container": "@index"}},
+            "@id": "http://e/x",
+            "m": {"z": "last", "a": "first", "k": "mid"},
+        },
+        {},
+    ),
+    (
+        "t0106",
+        "@type values that are terms resolve through the term definition",
+        {
+            "@context": {"Person": "http://e/types/Person"},
+            "@id": "http://e/x",
+            "@type": "Person",
+        },
+        {},
+    ),
+    (
+        "t0107",
+        "relative @type without vocab resolves document-relative (expand_iri "
+        "vocab path falls through to base, reference context.rs expand_iri)",
+        {"@id": "http://e/x", "@type": "types/T"},
+        {"base": "https://site.example/a/"},
+    ),
+    (
+        "t0108",
+        "aliased @id composes with reverse terms on nested nodes",
+        {
+            "@context": {"iri": "@id", "childOf": {"@reverse": "http://e/parentOf"}},
+            "iri": "http://e/alice",
+            "childOf": {"iri": "http://e/bob"},
+        },
+        {},
+    ),
+    (
+        "t0109",
+        "nulls interleaved in value arrays drop; survivors keep order",
+        {"@id": "http://e/x", "http://e/p": [None, "keep", None, 2, None]},
+        {},
+    ),
+    (
+        "t0110",
+        "hash-namespace prefix composes with suffixes",
+        {
+            "@context": {"ns": "http://e/vocab#"},
+            "@id": "http://e/x",
+            "ns:alpha": "a",
+            "ns:beta": {"@id": "ns:gamma"},
+        },
+        {},
+    ),
+    (
+        "t0111",
+        "slash-terminated prefix composes with multi-segment suffixes",
+        {
+            "@context": {"api": "http://e/api/"},
+            "@id": "http://e/x",
+            "api:v1/items": "listing",
+        },
+        {},
+    ),
+    (
+        "t0112",
+        "explicit blank node labels shared across references survive",
+        {
+            "@id": "http://e/x",
+            "http://e/p": {"@id": "_:b0", "http://e/n": "inner"},
+            "http://e/q": {"@id": "_:b0"},
+        },
+        {},
+    ),
+    (
+        "t0113",
+        "reverse value nodes may nest forward children (deep reverse)",
+        {
+            "@context": {"childOf": {"@reverse": "http://e/parentOf"}},
+            "@id": "http://e/alice",
+            "childOf": {
+                "@id": "http://e/bob",
+                "http://e/pet": {"@id": "http://e/rex", "http://e/kind": "dog"},
+            },
+        },
+        {},
+    ),
+    (
+        "t0114",
+        "list container composed with datatype coercion types each item",
+        {
+            "@context": {
+                "dates": {
+                    "@id": "http://e/dates",
+                    "@container": "@list",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            },
+            "@id": "http://e/x",
+            "dates": ["2020-01-01", "2020-02-02"],
+        },
+        {},
+    ),
+    (
+        "t0115",
+        "same property via term and via absolute IRI merges into one array",
+        {
+            "@context": {"p": "http://e/p"},
+            "@id": "http://e/x",
+            "p": "via-term",
+            "http://e/p": "via-iri",
+        },
+        {},
+    ),
+    (
+        "t0116",
+        "inside @graph: tagged value objects drop, lone-@id nodes drop, "
+        "real nodes survive",
+        {
+            "@graph": [
+                {"@value": "free", "@language": "en"},
+                {"@id": "http://e/only-id"},
+                {"@id": "http://e/real", "http://e/p": "v"},
+            ]
+        },
+        {},
+    ),
+]
+
 NEGATIVE_CASES = [
     (
         "te001",

@@ -366,6 +366,292 @@ CASES = [
             "p": {"q": {"r": {"name": "leaf"}}},
         },
     ),
+    # Round-3 long-tail additions (VERDICT r2 #3): literal canonical-form
+    # boundaries, URDNA-hard blank structures, graph/list/reverse
+    # compositions. Same review protocol as above.
+    (
+        "t0036",
+        "xsd:double lexical forms at the 1e21 boundary (ryu parity, like "
+        "the reference — not XSD-canonical E-notation; see t0013)",
+        {
+            "@id": "http://e/s",
+            "http://e/a": 1e20,
+            "http://e/b": 1e21,
+            "http://e/c": 123456789.123456789,
+            "http://e/d": 0.1,
+        },
+    ),
+    (
+        "t0037",
+        "integer extremes and zero keep full lexical precision",
+        {
+            "@id": "http://e/s",
+            "http://e/min": -9007199254740993,
+            "http://e/zero": 0,
+            "http://e/max": 9007199254740993,
+        },
+    ),
+    (
+        "t0038",
+        "same language-tagged literal in default and named graph",
+        {
+            "@graph": [
+                {
+                    "@id": "http://e/s",
+                    "http://e/p": {"@value": "wort", "@language": "de"},
+                },
+                {
+                    "@id": "http://e/g",
+                    "@graph": [
+                        {
+                            "@id": "http://e/s",
+                            "http://e/p": {"@value": "wort", "@language": "de"},
+                        }
+                    ],
+                },
+            ]
+        },
+    ),
+    (
+        "t0039",
+        "list mixing language-tagged and datatyped literals",
+        {
+            "@id": "http://e/s",
+            "http://e/l": {
+                "@list": [
+                    {"@value": "un", "@language": "fr"},
+                    {
+                        "@value": "2020-01-01",
+                        "@type": "http://www.w3.org/2001/XMLSchema#date",
+                    },
+                    7,
+                ]
+            },
+        },
+    ),
+    (
+        "t0040",
+        "@reverse with blank-node value emits forward triple from bnode",
+        {
+            "@id": "http://e/alice",
+            "@reverse": {
+                "http://e/parentOf": {"http://e/name": "anon parent"}
+            },
+        },
+    ),
+    (
+        "t0041",
+        "asymmetric 3-cycle of blank nodes needs n-degree hashing",
+        {
+            "@graph": [
+                {"@id": "_:a", "http://e/next": {"@id": "_:b"}, "http://e/tag": "x"},
+                {"@id": "_:b", "http://e/next": {"@id": "_:c"}},
+                {"@id": "_:c", "http://e/next": {"@id": "_:a"}},
+            ]
+        },
+    ),
+    (
+        "t0042",
+        "two isomorphic disjoint blank components get distinct stable labels",
+        {
+            "@graph": [
+                {"http://e/p": {"http://e/q": "leaf"}},
+                {"http://e/p": {"http://e/q": "leaf"}},
+            ]
+        },
+    ),
+    (
+        "t0043",
+        "blank graph label also used as subject in the default graph",
+        {
+            "@graph": [
+                {"@id": "_:g", "http://e/meta": "m"},
+                {
+                    "@id": "_:g",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+                },
+            ]
+        },
+    ),
+    (
+        "t0044",
+        "control chars and U+2028/U+2029 stay raw UTF-8 (canonical N-Quads escapes only quote, backslash, LF, CR)",
+        {
+            "@id": "http://e/s",
+            "http://e/ctl": "abc",
+            "http://e/sep": "x y z",
+        },
+    ),
+    (
+        "t0045",
+        "a literal that looks like an IRI stays a literal",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "http://not-a-link.example/path",
+        },
+    ),
+    (
+        "t0046",
+        "datatype IRIs expand before RDF conversion (prefixed + vocab forms)",
+        {
+            "@context": {"@vocab": "http://e/v#", "x": "http://e/x#"},
+            "@id": "http://e/s",
+            "http://e/a": {"@value": "1", "@type": "x:dt"},
+            "http://e/b": {"@value": "2", "@type": "localType"},
+        },
+    ),
+    (
+        "t0047",
+        "graph keyed by blank label whose bnode is referenced from default graph",
+        {
+            "@graph": [
+                {"@id": "http://e/s", "http://e/sees": {"@id": "_:g"}},
+                {
+                    "@id": "_:g",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+                },
+            ]
+        },
+    ),
+    (
+        "t0048",
+        "the same node referenced twice in one list keeps both cons cells",
+        {
+            "@id": "http://e/s",
+            "http://e/l": {
+                "@list": [{"@id": "http://e/n"}, {"@id": "http://e/n"}]
+            },
+        },
+    ),
+    (
+        "t0049",
+        "empty-string and whitespace-only literals survive",
+        {
+            "@id": "http://e/s",
+            "http://e/empty": "",
+            "http://e/blank": "   ",
+        },
+    ),
+    (
+        "t0050",
+        "explicit xsd:string prints as a simple literal (canonical N-Quads)",
+        {
+            "@id": "http://e/s",
+            "http://e/a": {
+                "@value": "typed",
+                "@type": "http://www.w3.org/2001/XMLSchema#string",
+            },
+            "http://e/b": "plain",
+        },
+    ),
+    (
+        "t0051",
+        "native booleans coerced through a term keep xsd:boolean forms",
+        {
+            "@context": {
+                "flag": {
+                    "@id": "http://e/flag",
+                    "@type": "http://www.w3.org/2001/XMLSchema#boolean",
+                }
+            },
+            "@id": "http://e/s",
+            "flag": [True, False],
+        },
+    ),
+    (
+        "t0052",
+        "integral native doubles keep ryu shortest forms (5.0, not 5E0)",
+        {
+            "@id": "http://e/s",
+            "http://e/five": 5.0,
+            "http://e/negfour": -4.0,
+        },
+    ),
+    (
+        "t0053",
+        "anonymous bnode chain inside a named graph stays in that graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/root",
+                    "http://e/p": {"http://e/q": {"http://e/name": "leaf"}},
+                }
+            ],
+        },
+    ),
+    (
+        "t0054",
+        "@index on graphs, values, and nodes is invisible in RDF",
+        {
+            "@id": "http://e/g",
+            "@index": "gix",
+            "@graph": [
+                {
+                    "@id": "http://e/a",
+                    "@index": "nix",
+                    "http://e/p": {"@value": "v", "@index": "vix"},
+                }
+            ],
+        },
+    ),
+    (
+        "t0055",
+        "reverse + list inside a named graph compose into graph-local quads",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/alice",
+                    "@reverse": {"http://e/parentOf": {"@id": "http://e/bob"}},
+                    "http://e/l": {"@list": ["a"]},
+                }
+            ],
+        },
+    ),
+    (
+        "t0056",
+        "blank @type value becomes a blank rdf:type object",
+        {
+            "@id": "http://e/s",
+            "@type": "_:T",
+            "http://e/p": "v",
+        },
+    ),
+    (
+        "t0057",
+        "backslash-final literal and mixed escape salad round-trip",
+        {
+            "@id": "http://e/s",
+            "http://e/tail": "ends with backslash\\",
+            "http://e/mix": "q\"b\\n\nr\tc\r",
+        },
+    ),
+    (
+        "t0058",
+        "1 vs 1.0 vs true are three distinct literals on one predicate",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [1, 1.0, True],
+        },
+    ),
+    (
+        "t0059",
+        "relative graph names resolve against base",
+        {
+            "@id": "graphs/g1",
+            "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+    ),
+    (
+        "t0060",
+        "the same list value under two predicates makes two cons chains",
+        {
+            "@id": "http://e/s",
+            "http://e/l1": {"@list": ["x", "y"]},
+            "http://e/l2": {"@list": ["x", "y"]},
+        },
+    ),
 ]
 
 
