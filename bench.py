@@ -126,6 +126,15 @@ def main() -> None:
     t0 = time.monotonic()
     _sha_burn(2_000_000)
     noise_probe = round(time.monotonic() - t0, 3)
+    # The 1-thread probe alone cannot certify a 32-wide window: identical
+    # headline runs have swung 2x+ with a quiet 1-thread probe while 32-proc
+    # raw-CPU scaling collapsed (neighbor steal shows up only under width).
+    # host_parallel_speedup: aggregate CPUS-proc sha256 rate over the
+    # 1-thread rate — quiet ≈ 0.8×nproc up to the ~16 physical cores
+    # (≈ 12-16 at nproc=32 on this SMT box, ≈ 6-7 at nproc=8); well under
+    # half of that means neighbors are stealing cores and every wall-clock
+    # number in this line is inflated. Read BOTH probes before trusting.
+    parallel_speedup = _parallel_speedup(CPUS, 2_000_000 / max(noise_probe, 1e-9))
     result = {
         "metric": "kg_pipeline_headline_total",
         "value": round(sum(per_query.values()), 3),
@@ -143,6 +152,7 @@ def main() -> None:
         "extract_sec": round(extract_sec, 3),
         "throughput_replicate": replicate,
         "host_noise_probe_sec": noise_probe,
+        "host_parallel_speedup": parallel_speedup,
         "cpus": CPUS,
     }
 
@@ -208,6 +218,19 @@ def _sha_burn(n: int) -> None:
     h = b"x" * 64
     for _ in range(n):
         h = hashlib.sha256(h).digest()
+
+
+def _parallel_speedup(nproc: int, rate1: float) -> float:
+    """Aggregate nproc-process sha256 rate over the 1-thread rate — the
+    width-sensitive half of the window-quality attestation."""
+    import multiprocessing as mp
+
+    per = 150_000
+    t0 = time.monotonic()
+    with mp.Pool(nproc) as pool:
+        pool.map(_sha_burn, [per] * nproc)
+    rate_n = nproc * per / (time.monotonic() - t0)
+    return round(rate_n / rate1, 2)
 
 
 def _cpu_ceiling_8_to_32() -> float:
