@@ -160,13 +160,14 @@ def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from jsonld_rs_spark.util import spread
 
+    from jsonld_rs_spark.pipeline.synth import page_url
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 10 == 0
     )
-    golden_schema = (
-        "url string, graph string, subj string, pred string, obj_kind string,"
-        " obj_value string, obj_datatype string, obj_lang string"
-    )
+    # schema derived from TRIPLE_COLUMNS so a future column reorder cannot
+    # silently mislabel the golden side (review r3)
+    golden_schema = ", ".join(f"{c} string" for c in TRIPLE_COLUMNS)
 
     def golden_rows(batches):
         import pandas as pd
@@ -183,12 +184,26 @@ def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
 
-    golden = (
-        spread(docs.select("doc_id", "text", "lang", "source"))
-        .mapInPandas(golden_rows, golden_schema)
-        .localCheckpoint(eager=False)  # two consumers: urls + the join
-    )
-    urls = golden.select("url").distinct()
+    spread_docs = spread(docs.select("doc_id", "text", "lang", "source"))
+    golden = spread_docs.mapInPandas(golden_rows, golden_schema)
+    # the page set comes from the SAMPLE (every sampled doc's url), NOT from
+    # the golden rows: a page whose reference-semantics run yields zero
+    # triples must still contribute its Spark-side triples to n_got, or a
+    # false-positive-only divergence would be invisible to precision
+    # (review r3). urls are deterministic per doc (synth.page_url).
+    def latest_urls(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(d.source, int(d.doc_id)) for d in pdf.itertuples()
+                    ]
+                }
+            )
+
+    urls = spread_docs.mapInPandas(latest_urls, "url string")
     pages = _pages(spark, sf_dir).join(F.broadcast(urls), "url", "left_semi")
     got = split_records(extract_records(pages))[0]
 

@@ -220,17 +220,25 @@ def _sha_burn(n: int) -> None:
         h = hashlib.sha256(h).digest()
 
 
+def _timed_burn(n: int) -> float:
+    t0 = time.monotonic()
+    _sha_burn(n)
+    return n / (time.monotonic() - t0)
+
+
 def _parallel_speedup(nproc: int, rate1: float) -> float:
     """Aggregate nproc-process sha256 rate over the 1-thread rate — the
-    width-sensitive half of the window-quality attestation."""
+    width-sensitive half of the window-quality attestation. Each worker
+    times ITS OWN burn (fork/teardown excluded) and the aggregate is the
+    sum of concurrent per-worker rates, so the figure reflects sustained
+    parallel throughput, not pool startup (review r3: the wall-clock-
+    around-the-pool version folded fork cost into a sub-second window)."""
     import multiprocessing as mp
 
-    per = 150_000
-    t0 = time.monotonic()
+    per = 400_000
     with mp.Pool(nproc) as pool:
-        pool.map(_sha_burn, [per] * nproc)
-    rate_n = nproc * per / (time.monotonic() - t0)
-    return round(rate_n / rate1, 2)
+        rates = pool.map(_timed_burn, [per] * nproc)
+    return round(sum(rates) / rate1, 2)
 
 
 def _cpu_ceiling_8_to_32() -> float:

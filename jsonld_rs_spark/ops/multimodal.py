@@ -20,6 +20,7 @@ At 100 TB the rules encoded here matter more than the codec:
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -73,11 +74,14 @@ def decode_stub(payload: bytes, kind: str, strict: bool = False):
     return width, height, n_frames
 
 
+@lru_cache(maxsize=1)
 def _pil_module():
     """Capability probe for a real image codec — same pattern as
     materialize.iceberg_catalog(): the feature lights up when the library
     exists, with an honest fallback otherwise (VERDICT r2 #8). Returns the
-    PIL.Image module or None (this container has no Pillow)."""
+    PIL.Image module or None (this container has no Pillow). Cached: the
+    probe runs once per worker, not once per payload in the hot narrow map
+    (review r3)."""
     try:
         from PIL import Image  # noqa: PLC0415
 
