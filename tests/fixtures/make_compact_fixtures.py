@@ -621,6 +621,366 @@ CASES = [
     ),
 ]
 
+# Round-3 long-tail additions (same review protocol; VERDICT r2 #3 named
+# expansion/compaction odd corners as the residual risk): inverse-context
+# term-selection ties, container-choice fallbacks, mixed reverse residues,
+# CURIE/term precedence, graph/list compositions.
+CASES += [
+    (
+        "t0051",
+        "@set-container term preferred for the IRI it owns; arrays stay",
+        {
+            "@id": "http://e/x",
+            "http://e/tags": [{"@value": "a"}, {"@value": "b"}],
+        },
+        {"@context": {"tags": {"@id": "http://e/tags", "@container": "@set"}}},
+        {},
+    ),
+    (
+        "t0052",
+        "@language:null term captures untagged strings under a default language",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [{"@value": "bare"}],
+        },
+        {
+            "@context": {
+                "@language": "en",
+                "label": {"@id": "http://e/label", "@language": None},
+            }
+        },
+        {},
+    ),
+    (
+        "t0053",
+        "reverse term with @type:@id renders node refs as IRI strings",
+        {
+            "@id": "http://e/team",
+            "@reverse": {
+                "http://e/memberOf": [
+                    {"@id": "http://e/a"},
+                    {"@id": "http://e/b"},
+                ]
+            },
+        },
+        {
+            "@context": {
+                "members": {
+                    "@reverse": "http://e/memberOf",
+                    "@type": "@id",
+                }
+            }
+        },
+        {},
+    ),
+    (
+        "t0054",
+        "index map rebuilds around node-object values, @index elided",
+        {
+            "@id": "http://e/x",
+            "http://e/byday": [
+                {"@id": "http://e/m", "@index": "mon"},
+                {"@id": "http://e/t", "@index": "tue"},
+            ],
+        },
+        {
+            "@context": {
+                "byday": {"@id": "http://e/byday", "@container": "@index"}
+            }
+        },
+        {},
+    ),
+    (
+        "t0055",
+        "named graph under a property compacts its @graph content",
+        {
+            "@id": "http://e/x",
+            "http://e/claims": [
+                {
+                    "@id": "http://e/g1",
+                    "@graph": [
+                        {
+                            "@id": "http://e/a",
+                            "http://e/p": [{"@value": "v"}],
+                        }
+                    ],
+                }
+            ],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0056",
+        "longest matching namespace wins among nested prefixes",
+        {
+            "@id": "http://e/ns/deep/x",
+            "http://e/ns/deep/prop": [{"@value": "v"}],
+        },
+        {
+            "@context": {
+                "outer": "http://e/ns/",
+                "inner": "http://e/ns/deep/",
+            }
+        },
+        {},
+    ),
+    (
+        "t0057",
+        "single @type unwraps even under compactArrays=false (reference quirk: compact.rs:361-365 unwraps unconditionally; spec would keep the array)",
+        {
+            "@id": "http://e/x",
+            "@type": ["http://e/T"],
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {"compactArrays": False},
+    ),
+    (
+        "t0058",
+        "value tagged differently from the term's @language keeps @value form",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [{"@value": "mot", "@language": "fr"}],
+        },
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@language": "en"}
+            }
+        },
+        {},
+    ),
+    (
+        "t0059",
+        "no vocab, no matching term: property keys stay absolute IRIs",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"unrelated": "http://other.example/u"}},
+        {},
+    ),
+    (
+        "t0060",
+        "typed value selects the coercing term over the plain term",
+        {
+            "@id": "http://e/x",
+            "http://e/when": [
+                {
+                    "@value": "2020-01-01",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                },
+                {"@value": "sometime"},
+            ],
+        },
+        {
+            "@context": {
+                "when": "http://e/when",
+                "whenDate": {
+                    "@id": "http://e/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                },
+            }
+        },
+        {},
+    ),
+    (
+        "t0061",
+        "list value under a term without @list container keeps explicit @list",
+        {
+            "@id": "http://e/x",
+            "http://e/steps": [{"@list": [{"@value": 1}, {"@value": 2}]}],
+        },
+        {"@context": {"steps": "http://e/steps"}},
+        {},
+    ),
+    (
+        "t0062",
+        "mixed reverse map: termed property lifts out, untermed stays under @reverse",
+        {
+            "@id": "http://e/a",
+            "@reverse": {
+                "http://e/knows": [{"@id": "http://e/b"}],
+                "http://e/likes": [{"@id": "http://e/c"}],
+            },
+        },
+        {"@context": {"knownBy": {"@reverse": "http://e/knows"}}},
+        {},
+    ),
+    (
+        "t0063",
+        "aliased @list keyword renders inside explicit list objects",
+        {
+            "@id": "http://e/x",
+            "http://e/l": [{"@list": [{"@value": "a"}]}],
+        },
+        {"@context": {"mylist": "@list", "l": "http://e/l"}},
+        {},
+    ),
+    (
+        "t0064",
+        "nested named graphs compact recursively",
+        {
+            "@id": "http://e/outer",
+            "@graph": [
+                {
+                    "@id": "http://e/inner",
+                    "@graph": [
+                        {"@id": "http://e/a", "http://e/p": [{"@value": "v"}]}
+                    ],
+                    "http://e/meta": [{"@value": "m"}],
+                }
+            ],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0065",
+        "@list with @index compacts keeping both on the explicit object",
+        {
+            "@id": "http://e/x",
+            "http://e/l": [
+                {"@list": [{"@value": 1}], "@index": "pos"}
+            ],
+        },
+        {"@context": {"l": "http://e/l"}},
+        {},
+    ),
+    (
+        "t0066",
+        "native doubles and ints compact bare and keep their types",
+        {
+            "@id": "http://e/x",
+            "http://e/d": [{"@value": 2.5}],
+            "http://e/i": [{"@value": 7}],
+            "http://e/whole": [{"@value": 1.0}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0067",
+        "blank-node predicates pass through compaction untouched",
+        {
+            "@id": "http://e/x",
+            "_:p": [{"@value": "via blank predicate"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0068",
+        "untagged value cannot enter the language map; it falls back to the absolute-IRI key as a bare string",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [
+                {"@value": "tagged", "@language": "en"},
+                {"@value": "bare"},
+            ],
+        },
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            }
+        },
+        {},
+    ),
+    (
+        "t0069",
+        "single root node compacts without a @graph wrapper",
+        {
+            "@id": "http://e/only",
+            "http://e/p": [{"@value": "v"}],
+        },
+        {"@context": {"@vocab": "http://e/"}},
+        {},
+    ),
+    (
+        "t0070",
+        "compactArrays=false keeps coerced node refs as value arrays of strings",
+        {
+            "@id": "http://e/x",
+            "http://e/knows": [{"@id": "http://e/y"}],
+        },
+        {
+            "@context": {
+                "knows": {"@id": "http://e/knows", "@type": "@id"}
+            }
+        },
+        {"compactArrays": False},
+    ),
+    (
+        "t0071",
+        "@type:@vocab term wins for vocab-term values; @id term for other IRIs",
+        {
+            "@id": "http://e/x",
+            "http://e/kind": [{"@id": "http://e/v#Thing"}],
+            "http://e/link": [{"@id": "http://other.example/page"}],
+        },
+        {
+            "@context": {
+                "@vocab": "http://e/v#",
+                "kind": {"@id": "http://e/kind", "@type": "@vocab"},
+                "link": {"@id": "http://e/link", "@type": "@id"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0072",
+        "@id string values compact to CURIEs when a prefix matches",
+        {
+            "@id": "http://e/ns#x",
+            "http://e/ns#rel": [{"@id": "http://e/ns#y"}],
+        },
+        {
+            "@context": {
+                "ns": "http://e/ns#",
+                "rel": {"@id": "http://e/ns#rel", "@type": "@id"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0073",
+        "aliased @id renders on nested nodes too",
+        {
+            "@id": "http://e/a",
+            "http://e/child": [
+                {"@id": "http://e/b", "http://e/child": [{"@id": "http://e/c"}]}
+            ],
+        },
+        {"@context": {"iri": "@id", "child": "http://e/child"}},
+        {},
+    ),
+    (
+        "t0074",
+        "an explicit term matching a CURIE's own spelling takes precedence",
+        {
+            "@id": "http://e/x",
+            "http://special.example/p": [{"@value": "v"}],
+        },
+        {
+            "@context": {
+                "ex": "http://e/ns#",
+                "ex:odd": {"@id": "http://special.example/p"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0075",
+        "unicode term names round-trip through compaction",
+        {
+            "@id": "http://e/x",
+            "http://e/名前": [{"@value": "名"}],
+        },
+        {"@context": {"名前": "http://e/名前"}},
+        {},
+    ),
+]
+
 NEGATIVE_CASES = [
     (
         "te001",
