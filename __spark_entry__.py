@@ -584,6 +584,14 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-5 signature terms per document (scores rounded
+    before ranking so both engines cut ranks identically)."""
+    from jsonld_rs_spark.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents")).orderBy("doc_id", "rank")
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.text import lang_id
 
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": token_count_docs,
         "bpe_token_count_docs": bpe_token_count_docs,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -1093,6 +1102,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "tfidf_top_terms_docs": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM words GROUP BY doc_id, word
+            ), dfreq AS (
+              SELECT word, count(*) AS df FROM tf GROUP BY word
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.word,
+                     round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (word), n
+            )
+            SELECT doc_id, word, tfidf, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         "lang_id_docs": """
             WITH scored AS (

@@ -119,3 +119,46 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
         F.size(fps).cast("long").alias("n_fps"),
         F.md5(F.concat_ws(",", F.array_sort(fps))).alias("fp"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms over the whole corpus — the
+    signature-terms operator an LLM-data pipeline uses for topic tagging
+    and near-dup triage.
+
+    Scale shape (100 TB): three shuffles, all key-partitioned and
+    partial-aggregated — (doc_id, word) term counts, word document
+    frequencies, and the per-doc top-k window. The document-frequency side
+    is vocabulary-sized, so it joins sort-merge on ``word`` (broadcasting a
+    web-scale vocabulary would OOM the build side); stopword-skewed words
+    are AQE skew-join eligible. The corpus size enters as a broadcast
+    1-row aggregate (cross join), never a driver-side collect.
+
+    Determinism/oracle parity: scores are rounded to 6 decimals BEFORE the
+    top-k ordering (Spark's Math.log and DuckDB's libm ln may differ in the
+    last ulp; ordering on the rounded value with a ``word`` tie-break keeps
+    both engines' rank cutoffs identical).
+    """
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tfidf", "rank")
+    )

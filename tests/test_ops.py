@@ -179,6 +179,32 @@ def test_text_ops_shapes(docs):
     assert all(0.0 <= r["quality"] <= 1.0 for r in q)
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    """Tiny corpus with hand-computed TF-IDF values (natural log)."""
+    import math
+
+    from jsonld_rs_spark.ops.text import tfidf_top_terms
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana apple", "en", "s", 0),
+            (2, "banana cherry", "en", "s", 0),
+            (3, "cherry cherry date", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r["doc_id"], r["word"]): (r["tfidf"], r["rank"])
+        for r in tfidf_top_terms(corpus, k=2).collect()
+    }
+    ln3, ln15 = math.log(3.0), math.log(1.5)
+    assert rows[(1, "apple")] == (round(2 * ln3, 6), 1)
+    assert rows[(1, "banana")] == (round(ln15, 6), 2)
+    assert rows[(3, "date")] == (round(ln3, 6), 1)  # rare beats frequent
+    assert rows[(3, "cherry")] == (round(2 * ln15, 6), 2)
+    assert len(rows) == 6  # k=2 per doc
+
+
 def test_multimodal_plumbing(docs):
     media = synthesize_media(docs)
     feats = extract_features(media).collect()
