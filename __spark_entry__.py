@@ -1261,13 +1261,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_docs": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + _MINHASH_EXPLODED_CTE
         + """
-        , pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        , hubs AS (
+          SELECT band, sig, min(doc_id) AS hub FROM kept GROUP BY band, sig
         ), edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs
+          -- star per bucket (member <-> bucket-min): same components as the
+          -- bucket cliques, O(n·bands) edges instead of O(sum bucket^2)
+          -- pairs — mirrors the operator's CC input exactly
+          SELECT k.doc_id AS src, h.hub AS dst
+          FROM kept k JOIN hubs h ON k.band = h.band AND k.sig = h.sig
+          WHERE k.doc_id != h.hub
+          UNION
+          SELECT h.hub, k.doc_id
+          FROM kept k JOIN hubs h ON k.band = h.band AND k.sig = h.sig
+          WHERE k.doc_id != h.hub
         ), reach(a, b) AS (
           SELECT src, src FROM edges
           UNION

@@ -125,6 +125,27 @@ def _exploded_band_sigs(
     ).select("doc_id", "bs.band", "bs.sig")
 
 
+def _kept_exploded(
+    docs: DataFrame,
+    bands: int,
+    max_bucket: int,
+    shingled: DataFrame = None,
+) -> DataFrame:
+    """Exploded (doc_id, band, sig) rows with over-cap buckets anti-joined
+    out — the shared front half of minhash_dup_pairs and dup_clusters.
+    ``max_bucket<=0`` disables the cap (all rows kept)."""
+    exploded = _exploded_band_sigs(docs, bands, shingled=shingled)
+    if max_bucket <= 0:
+        return exploded
+    oversized = (
+        exploded.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+        .select("band", "sig")
+    )
+    return exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+
+
 def minhash_degenerate_buckets(
     docs: DataFrame, bands: int = MINHASH_BANDS, max_bucket: int = MINHASH_MAX_BUCKET
 ) -> DataFrame:
@@ -179,7 +200,7 @@ def minhash_dup_pairs(
     same pairs across the shuffle — slower on capped workloads, but the only
     memory-safe shape once buckets are unbounded (ADVICE r2). Both sides of
     that join read the lazily-checkpointed signatures, not a recomputation."""
-    exploded = _exploded_band_sigs(docs, bands, shingled=shingled)
+    exploded = _kept_exploded(docs, bands, max_bucket, shingled=shingled)
     if max_bucket <= 0:
         a = exploded.select("band", "sig", F.col("doc_id").alias("doc_a"))
         b = exploded.select("band", "sig", F.col("doc_id").alias("doc_b"))
@@ -189,13 +210,6 @@ def minhash_dup_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-    oversized = (
-        exploded.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > max_bucket)
-        .select("band", "sig")
-    )
-    exploded = exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     grouped = exploded.groupBy("band", "sig").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
@@ -433,18 +447,33 @@ def dup_clusters(
     pairs: DataFrame = None,
 ) -> DataFrame:
     """(doc_id, representative): the operator a 100 TB dedup pipeline
-    actually ends with. Candidate pairs (MinHash by default; pass ``pairs``
-    to cluster any (doc_a, doc_b) pair table, e.g. embedding_near_dup
-    output) → connected components (pipeline/components.py large-star/
-    small-star, O(log n) rounds) → every document labeled with its cluster's
-    deterministic min-doc_id representative. Output is O(n) rows — never
-    O(cluster²) — and docs in no pair are their own representative, so the
-    result is a total dedup map: keep rows where doc_id = representative."""
+    actually ends with — every document labeled with its duplicate
+    cluster's deterministic min-doc_id representative via connected
+    components (pipeline/components.py large-star/small-star, O(log n)
+    rounds). Output is O(n) rows, and docs in no cluster are their own
+    representative, so the result is a total dedup map: keep rows where
+    doc_id = representative.
+
+    The default (MinHash) path NEVER materializes candidate pairs: each
+    kept LSH bucket is a clique in the candidate graph, and a clique's
+    components are preserved by its star (member ↔ bucket-min), so the CC
+    input is O(n·bands) star edges instead of O(Σ|bucket|²) pairs — at
+    sandbox sf0.1 that is 20k edges for a 1.2M-pair graph, and at 100 TB
+    it is the difference between a linear shuffle and an infeasible one.
+    Pass ``pairs`` to cluster an explicit (doc_a, doc_b) table instead
+    (e.g. embedding_near_dup output)."""
     from ..pipeline.components import connected_components
 
-    if pairs is None:
-        pairs = minhash_dup_pairs(docs, bands, max_bucket)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    if pairs is not None:
+        edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    else:
+        kept = _kept_exploded(docs, bands, max_bucket)
+        hubs = kept.groupBy("band", "sig").agg(F.min("doc_id").alias("hub"))
+        edges = (
+            kept.join(hubs, ["band", "sig"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+        )
     comps = connected_components(edges).withColumnRenamed("node", "doc_id")
     return (
         docs.select("doc_id")
