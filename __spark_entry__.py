@@ -649,6 +649,22 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side dedup map: near-dup pairs (capped LSH tier) clustered
+    to (vec_id, representative) — dup_clusters over an explicit pair table."""
+    from jsonld_rs_spark.ops.dedup import dup_clusters, embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.4, method="lsh").select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        dup_clusters(emb.select(F.col("vec_id").alias("doc_id")), pairs=pairs)
+        .select(F.col("doc_id").alias("vec_id"), "representative")
+        .orderBy("vec_id")
+    )
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.similarity import brute_force_topk
 
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "embedding_capped_buckets": embedding_capped_buckets,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "embedding_dup_clusters": embedding_dup_clusters,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1284,6 +1301,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(r.representative, d.doc_id) AS representative
         FROM documents d LEFT JOIN rep r USING (doc_id)
         ORDER BY doc_id
+        """,
+        "embedding_dup_clusters": _lsh_base_cte().replace("WITH c", "WITH RECURSIVE c", 1)
+        + _EMB_EXPLODED_CTE
+        + f"""
+        , kept AS (
+          SELECT e.vec_id, e.t, e.bucket
+          FROM eb e
+          JOIN (SELECT t, bucket FROM eb
+                GROUP BY t, bucket HAVING count(*) <= {_EMB_CAP}) k
+            ON e.t = k.t AND e.bucket = k.bucket
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, z.vec_id AS vec_b
+          FROM kept a JOIN kept z
+            ON a.t = z.t AND a.bucket = z.bucket AND a.vec_id < z.vec_id
+        ), pairs AS (
+          SELECT vec_a, vec_b FROM cand
+          JOIN b x ON x.vec_id = vec_a
+          JOIN b y ON y.vec_id = vec_b
+          WHERE {_COS_SQL.format(x="x.v", y="y.v")} >= 0.4
+        ), edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs
+        ), reach(a, bb) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.bb = e.src
+        ), rep AS (
+          SELECT a AS vec_id, min(bb) AS representative FROM reach GROUP BY a
+        )
+        SELECT v.vec_id, coalesce(r.representative, v.vec_id) AS representative
+        FROM embeddings v LEFT JOIN rep r USING (vec_id)
+        ORDER BY vec_id
         """,
         "ann_topk_ivf": """
             WITH c AS (
