@@ -130,10 +130,11 @@ def main() -> None:
     # headline runs have swung 2x+ with a quiet 1-thread probe while 32-proc
     # raw-CPU scaling collapsed (neighbor steal shows up only under width).
     # host_parallel_speedup: aggregate CPUS-proc sha256 rate over the
-    # 1-thread rate — quiet ≈ 0.8×nproc up to the ~16 physical cores
-    # (≈ 12-16 at nproc=32 on this SMT box, ≈ 6-7 at nproc=8); well under
-    # half of that means neighbors are stealing cores and every wall-clock
-    # number in this line is inflated. Read BOTH probes before trusting.
+    # 1-thread rate — quiet ≈ 0.8×nproc EVEN past the 16 physical cores
+    # (SMT threads each sustain ~0.8× a dedicated core on this workload:
+    # measured ≈ 25 at nproc=32, ≈ 7.8 at nproc=8 in quiet windows); well
+    # under half of that means neighbors are stealing cores and every
+    # wall-clock number in this line is inflated. Read BOTH probes.
     parallel_speedup = _parallel_speedup(CPUS, 2_000_000 / max(noise_probe, 1e-9))
     result = {
         "metric": "kg_pipeline_headline_total",
@@ -169,15 +170,23 @@ def main() -> None:
         spark.stop()
         replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
         scaling = {}
+        probes = {}
         # fresh subprocess per config (one JVM across sequential contexts
-        # degrades); two interleaved passes sample different host-noise
-        # windows — per-config best is the least contaminated estimate
-        for _pass in range(2):
+        # degrades); interleaved passes sample different host-noise
+        # windows — per-config best is the least contaminated estimate.
+        # Each subprocess self-reports ITS OWN parallel-speedup probe
+        # (scaling_probes), so a contaminated config window is visible
+        # next to the number it produced.
+        passes = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PASSES", "2"))
+        for _pass in range(passes):
             for cpus in (2, 8, CPUS):
-                tps_c = _throughput_subprocess(cpus, replicate)
+                tps_c, probe_c = _throughput_subprocess(cpus, replicate)
                 key = f"local[{cpus}]"
-                scaling[key] = max(scaling.get(key, 0.0), tps_c)
+                if tps_c > scaling.get(key, 0.0):
+                    scaling[key] = tps_c
+                    probes[key] = probe_c
         result["scaling"] = scaling
+        result["scaling_probes"] = probes
         result["scaling_replicate"] = replicate
         result["scaling_efficiency_2_8"] = round(
             (scaling["local[8]"] / scaling["local[2]"]) / 4, 3
@@ -192,26 +201,35 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _throughput_subprocess(cpus: int, replicate: int) -> float:
+def _throughput_subprocess(cpus: int, replicate: int):
+    """Returns (tps, same-window parallel-speedup probe at this width)."""
     import subprocess
 
     code = (
-        "import sys; sys.path.insert(0, {root!r})\n"
+        "import sys, time; sys.path.insert(0, {root!r})\n"
         "import bench\n"
         "s = bench.make_spark({cpus}); s.sparkContext.setLogLevel('ERROR')\n"
         "bench.warm_python_workers(s, {cpus})\n"
         "tps, n, dt = bench.kg_throughput(s, {sf!r}, replicate={replicate})\n"
+        "t0 = time.monotonic(); bench._sha_burn(1_000_000)\n"
+        "r1 = 1_000_000 / (time.monotonic() - t0)\n"
         "print('TPS', tps)\n"
+        "print('SPD', bench._parallel_speedup({cpus}, r1))\n"
         "s.stop()\n"
     ).format(root=os.path.dirname(os.path.abspath(__file__)), cpus=cpus,
              sf=SF_DIR, replicate=replicate)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
     )
+    tps = spd = None
     for line in out.stdout.splitlines():
         if line.startswith("TPS "):
-            return round(float(line.split()[1]), 1)
-    raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
+            tps = round(float(line.split()[1]), 1)
+        elif line.startswith("SPD "):
+            spd = float(line.split()[1])
+    if tps is None:
+        raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
+    return tps, spd
 
 
 def _sha_burn(n: int) -> None:
