@@ -180,6 +180,90 @@ CASES = [
             ("@default", "_:b", P, "lit", "left", None, None),
         ],
     ),
+    # Round-3 hard vectors (VERDICT r2 #3 long-tail spirit, applied to the
+    # north-star algorithm): automorphism-heavy structures that force the
+    # n-degree permutation search, and graph-name/label interplay.
+    (
+        "c0014",
+        "complete bipartite K3,3 of blank nodes (automorphism-heavy "
+        "permutation search)",
+        [
+            ("@default", f"_:u{i}", R, "id", f"_:v{j}", None, None)
+            for i in range(3)
+            for j in range(3)
+        ],
+    ),
+    (
+        "c0015",
+        "two disjoint isomorphic 3-cycles, nothing to distinguish them",
+        [
+            ("@default", "_:a0", R, "id", "_:a1", None, None),
+            ("@default", "_:a1", R, "id", "_:a2", None, None),
+            ("@default", "_:a2", R, "id", "_:a0", None, None),
+            ("@default", "_:b0", R, "id", "_:b1", None, None),
+            ("@default", "_:b1", R, "id", "_:b2", None, None),
+            ("@default", "_:b2", R, "id", "_:b0", None, None),
+        ],
+    ),
+    (
+        "c0016",
+        "4-cycle with one symmetry-breaking literal",
+        [
+            ("@default", "_:a", R, "id", "_:b", None, None),
+            ("@default", "_:b", R, "id", "_:c", None, None),
+            ("@default", "_:c", R, "id", "_:d", None, None),
+            ("@default", "_:d", R, "id", "_:a", None, None),
+            ("@default", "_:a", P, "lit", "corner", None, None),
+        ],
+    ),
+    (
+        "c0017",
+        "one blank node appearing in default graph and two named graphs "
+        "(one IRI-named, one blank-named)",
+        [
+            ("@default", "_:e0", P, "lit", "d", None, None),
+            ("http://e/g1", "_:e0", P, "lit", "g1", None, None),
+            ("_:gb", "_:e0", P, "lit", "g2", None, None),
+            ("@default", "_:gb", Q, "lit", "meta", None, None),
+        ],
+    ),
+    (
+        "c0018",
+        "mutual edges under two predicates between the same blank pair",
+        [
+            ("@default", "_:x", P, "id", "_:y", None, None),
+            ("@default", "_:y", Q, "id", "_:x", None, None),
+            ("@default", "_:x", R, "id", "_:y", None, None),
+        ],
+    ),
+    (
+        "c0019",
+        "8-node blank chain: middles distinguished only by n-degree depth",
+        [
+            ("@default", f"_:e{i}", R, "id", f"_:e{i + 1}", None, None)
+            for i in range(7)
+        ],
+    ),
+    (
+        "c0020",
+        "hub joining two symmetric 2-cycles (nested automorphism)",
+        [
+            ("@default", "_:h", P, "id", "_:a0", None, None),
+            ("@default", "_:h", P, "id", "_:b0", None, None),
+            ("@default", "_:a0", R, "id", "_:a1", None, None),
+            ("@default", "_:a1", R, "id", "_:a0", None, None),
+            ("@default", "_:b0", R, "id", "_:b1", None, None),
+            ("@default", "_:b1", R, "id", "_:b0", None, None),
+        ],
+    ),
+    (
+        "c0021",
+        "blank graph name that is also an object inside its own graph",
+        [
+            ("_:g", "http://e/s", P, "id", "_:g", None, None),
+            ("@default", "http://e/a", Q, "id", "_:g", None, None),
+        ],
+    ),
 ]
 
 
