@@ -87,6 +87,102 @@ CASES = [
             "http://e/p": [{"@id": "http://e/b", "@index": "i1"}],
         },
     ),
+    # Round-3 additions: graph/blank interplay and merge corners.
+    (
+        "t0009",
+        "same subject described in default graph and a named graph stays "
+        "split per graph",
+        [
+            {"@id": "http://e/s", "http://e/p": [{"@value": "default"}]},
+            {
+                "@id": "http://e/g",
+                "@graph": [
+                    {"@id": "http://e/s", "http://e/p": [{"@value": "named"}]}
+                ],
+            },
+        ],
+    ),
+    (
+        "t0010",
+        "blank nodes in different named graphs get distinct minted labels",
+        [
+            {
+                "@id": "http://e/g1",
+                "@graph": [{"http://e/p": [{"@value": "a"}]}],
+            },
+            {
+                "@id": "http://e/g2",
+                "@graph": [{"http://e/p": [{"@value": "b"}]}],
+            },
+        ],
+    ),
+    (
+        "t0011",
+        "node listed twice at top level with different properties merges",
+        [
+            {"@id": "http://e/s", "http://e/p": [{"@value": "one"}]},
+            {"@id": "http://e/s", "http://e/q": [{"@value": "two"}]},
+        ],
+    ),
+    (
+        "t0012",
+        "list containing an anonymous node: node hoists, list keeps the ref",
+        {
+            "@id": "http://e/a",
+            "http://e/l": [
+                {"@list": [{"http://e/name": [{"@value": "inner"}]}]}
+            ],
+        },
+    ),
+    (
+        "t0013",
+        "reverse edges from a named graph land on targets inside that graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/child",
+                    "@reverse": {
+                        "http://e/parentOf": [{"@id": "http://e/parent"}]
+                    },
+                }
+            ],
+        },
+    ),
+    (
+        "t0014",
+        "blank graph name: graph keyed under the minted label's node",
+        {
+            "@id": "_:g",
+            "http://e/meta": [{"@value": "m"}],
+            "@graph": [{"@id": "http://e/a", "http://e/p": [{"@value": "v"}]}],
+        },
+    ),
+    (
+        "t0015",
+        "type-only node survives flattening with its @type",
+        [
+            {"@id": "http://e/s", "@type": ["http://e/T"]},
+            {"@id": "http://e/o", "http://e/p": [{"@id": "http://e/s"}]},
+        ],
+    ),
+    (
+        "t0016",
+        "deep mixed nesting: graph inside node inside graph flattens "
+        "each level to its own graph entry",
+        {
+            "@id": "http://e/outer",
+            "@graph": [
+                {
+                    "@id": "http://e/mid",
+                    "http://e/p": [{"@value": "m"}],
+                    "@graph": [
+                        {"@id": "http://e/leaf", "http://e/q": [{"@value": "l"}]}
+                    ],
+                }
+            ],
+        },
+    ),
 ]
 
 
