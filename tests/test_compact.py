@@ -119,3 +119,76 @@ def test_compact_with_remote_context_via_loader():
     assert out["@context"] == "https://ctx.example/v1"
     # and it round-trips through expansion
     assert expand(out, base="https://s.example/1", loader=loader) == expanded
+
+
+# ---- internal malformed-expanded-input guards ---------------------------
+# The public API expands first, so these branches are unreachable through
+# compact_document (malformed input raises the EXPANSION code instead —
+# covered by the expand negative manifest). compact_core is the reference's
+# compact() over an already-expanded element (compact.rs:231-272): feed it
+# hand-built malformed "expanded" documents and pin every defensive error
+# code so the enum stays reference-parity.
+
+import pytest as _pytest
+
+from jsonld_rs_spark.jsonldpy import errors as _E
+from jsonld_rs_spark.jsonldpy.compact import compact_core as _core
+
+
+@_pytest.mark.parametrize(
+    "name, ctx, element, code",
+    [
+        (
+            "id as list",
+            {},
+            {"@id": ["http://e/a", "http://e/b"]},
+            "id_not_string",
+        ),
+        (
+            "id as int",
+            {},
+            {"@id": 5},
+            "id_or_type_not_string",
+        ),
+        (
+            "type array with non-string",
+            {},
+            {"@id": "http://e/x", "@type": ["http://e/T", 7]},
+            "type_not_string",
+        ),
+        (
+            "reverse value not a map",
+            {},
+            {"@id": "http://e/x", "@reverse": "oops"},
+            "term_not_object",
+        ),
+        (
+            "language tag not a string",
+            {"p": {"@id": "http://e/p"}},
+            {"@id": "http://e/x", "http://e/p": [{"@value": "v", "@language": 5}]},
+            "language_not_string",
+        ),
+        (
+            "index not a string under index container",
+            {"p": {"@id": "http://e/p", "@container": "@index"}},
+            {"@id": "http://e/x", "http://e/p": [{"@value": "v", "@index": 3}]},
+            "language_or_index_not_string",
+        ),
+        (
+            "list value not an array under list container",
+            {"p": {"@id": "http://e/p", "@container": "@list"}},
+            {"@id": "http://e/x", "http://e/p": [{"@list": "no"}]},
+            "list_object_not_array",
+        ),
+        (
+            "list item not an object under list container",
+            {"p": {"@id": "http://e/p", "@container": "@list"}},
+            {"@id": "http://e/x", "http://e/p": [{"@list": ["bare"]}]},
+            "list_item_not_object",
+        ),
+    ],
+)
+def test_compact_core_guards_malformed_expanded_input(name, ctx, element, code):
+    with _pytest.raises(_E.CompactionError) as ei:
+        _core(ctx, element)
+    assert ei.value.code == code, name

@@ -396,6 +396,19 @@ def test_dup_clusters_matches_union_find(spark):
     assert got[104] == 100  # min-id representative within a group
 
 
+def test_dup_clusters_invariants(spark, docs):
+    """Structural invariants on the real corpus: representative is the
+    component min (rep ≤ doc_id), the map is idempotent (rep of a rep is
+    itself), and it is total (one row per doc)."""
+    from jsonld_rs_spark.ops.dedup import dup_clusters
+
+    rows = dup_clusters(docs).collect()
+    rep = {r["doc_id"]: r["representative"] for r in rows}
+    assert len(rep) == docs.count()
+    assert all(v <= k for k, v in rep.items())
+    assert all(rep[v] == v for v in rep.values())
+
+
 def test_ivf_topk_recall_floor_on_clustered_corpus(spark):
     """IVF with probe=4 of 16 cells on clustered data: recall@10 must be
     high (the probed cells contain the query's cluster)."""
