@@ -104,6 +104,66 @@ def kg_throughput(spark, sf_dir, replicate: int = None, trials: int = 3):
     return n_triples / dt, n_triples, dt
 
 
+def stage_breakdown(sf_dir: str, n_docs: int = 1000) -> dict:
+    """Single-thread per-stage wall share of the extraction heart
+    (BASELINE.md methodology: extract/expand → toRDF → canonicalize),
+    measured by running the same pure-Python chain the Arrow workers run,
+    with each stage timed separately over a deterministic document sample.
+    Shares, not absolutes: the absolute throughput number is the
+    distributed kg_throughput above."""
+    import pandas as pd
+
+    from jsonld_rs_spark.jsonldpy import DefaultNodeGenerator, expand as _unused  # noqa: F401
+    from jsonld_rs_spark.jsonldpy.context import Context
+    from jsonld_rs_spark.jsonldpy.expand import expand_core
+    from jsonld_rs_spark.jsonldpy.rdf import jsonld_to_rdf
+    from jsonld_rs_spark.jsonldpy.urdna2015 import canonicalize_dataset
+    from jsonld_rs_spark.jsonldpy import iri as iri_mod
+    from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS, make_loader
+    from jsonld_rs_spark.pipeline.synth import synthesize_rows
+    from jsonld_rs_spark.pipeline.triples import extract_jsonld_blocks
+
+    import json as _json
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").head(n_docs)
+    pages = []
+    for d in docs.itertuples():
+        crawls = list(synthesize_rows(int(d.doc_id), d.text, d.lang, d.source))
+        pages.append(max(crawls, key=lambda r: r["warc_ts"]))
+
+    loader = make_loader(BUILTIN_CONTEXTS)
+    cache: dict = {}
+    t = {"parse_blocks": 0.0, "expand": 0.0, "to_rdf": 0.0, "canonicalize": 0.0}
+    for p in pages:
+        t0 = time.perf_counter()
+        blocks = []
+        for b in extract_jsonld_blocks(p["html"]):
+            try:
+                blocks.append(_json.loads(b))
+            except ValueError:
+                pass  # synth plants malformed blocks; pipeline skips them too
+        t["parse_blocks"] += time.perf_counter() - t0
+        for doc in blocks:
+            try:
+                t0 = time.perf_counter()
+                ctx = Context(base_iri=iri_mod.parse_base(p["url"]))
+                expanded = expand_core(ctx, doc, loader, cache)
+                t["expand"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
+                t["to_rdf"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                canonicalize_dataset(dataset)
+                t["canonicalize"] += time.perf_counter() - t0
+            except Exception:
+                continue  # bad blocks are quarantined in the pipeline too
+    total = sum(t.values()) or 1e-9
+    out = {k: round(v / total, 3) for k, v in t.items()}
+    out["total_sec"] = round(total, 3)
+    out["n_docs"] = len(pages)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -154,6 +214,7 @@ def main() -> None:
         "throughput_replicate": replicate,
         "host_noise_probe_sec": noise_probe,
         "host_parallel_speedup": parallel_speedup,
+        "stage_breakdown": stage_breakdown(SF_DIR),
         "cpus": CPUS,
     }
 
