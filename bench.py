@@ -110,7 +110,14 @@ def stage_breakdown(sf_dir: str, n_docs: int = 1000) -> dict:
     measured by running the same pure-Python chain the Arrow workers run,
     with each stage timed separately over a deterministic document sample.
     Shares, not absolutes: the absolute throughput number is the
-    distributed kg_throughput above."""
+    distributed kg_throughput above.
+
+    This hand-inlines the stage sequence of triples.doc_to_quad_rows (the
+    authoritative chain) to time the seams; tests/test_ops.py pins the two
+    against each other by asserting identical triple counts over a shared
+    sample, so a pipeline-stage change that this copy misses fails a test
+    instead of silently skewing the published shares. Returns n_triples
+    for that cross-check."""
     import pandas as pd
 
     from jsonld_rs_spark.jsonldpy import DefaultNodeGenerator, expand as _unused  # noqa: F401
@@ -133,6 +140,7 @@ def stage_breakdown(sf_dir: str, n_docs: int = 1000) -> dict:
 
     loader = make_loader(BUILTIN_CONTEXTS)
     cache: dict = {}
+    n_triples = 0
     t = {"parse_blocks": 0.0, "expand": 0.0, "to_rdf": 0.0, "canonicalize": 0.0}
     for p in pages:
         t0 = time.perf_counter()
@@ -153,14 +161,16 @@ def stage_breakdown(sf_dir: str, n_docs: int = 1000) -> dict:
                 dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
                 t["to_rdf"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                canonicalize_dataset(dataset)
+                canon = canonicalize_dataset(dataset)
                 t["canonicalize"] += time.perf_counter() - t0
+                n_triples += sum(len(qs) for qs in canon.values())
             except Exception:
                 continue  # bad blocks are quarantined in the pipeline too
     total = sum(t.values()) or 1e-9
     out = {k: round(v / total, 3) for k, v in t.items()}
     out["total_sec"] = round(total, 3)
     out["n_docs"] = len(pages)
+    out["n_triples"] = n_triples
     return out
 
 
@@ -272,8 +282,9 @@ def _throughput_subprocess(cpus: int, replicate: int):
         "s = bench.make_spark({cpus}); s.sparkContext.setLogLevel('ERROR')\n"
         "bench.warm_python_workers(s, {cpus})\n"
         "tps, n, dt = bench.kg_throughput(s, {sf!r}, replicate={replicate})\n"
-        "t0 = time.monotonic(); bench._sha_burn(1_000_000)\n"
-        "r1 = 1_000_000 / (time.monotonic() - t0)\n"
+        "# best-of-2 burns: the 1-thread denominator must not be poisoned by\n"
+        "# a sub-second steal spike (CLAUDE.md window rule applies to it too)\n"
+        "r1 = max(bench._timed_burn(2_000_000) for _ in range(2))\n"
         "print('TPS', tps)\n"
         "print('SPD', bench._parallel_speedup({cpus}, r1))\n"
         "s.stop()\n"
@@ -288,7 +299,9 @@ def _throughput_subprocess(cpus: int, replicate: int):
             tps = round(float(line.split()[1]), 1)
         elif line.startswith("SPD "):
             spd = float(line.split()[1])
-    if tps is None:
+    if tps is None or spd is None:
+        # a missing probe must fail as loudly as a missing throughput — a
+        # null in scaling_probes would silently void the attestation
         raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
     return tps, spd
 

@@ -467,7 +467,10 @@ def dup_clusters(
     if pairs is not None:
         edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     else:
-        kept = _kept_exploded(docs, bands, max_bucket)
+        # lazy checkpoint: kept feeds BOTH the hub aggregation and the edge
+        # join — without it the oversized-bucket pre-count + anti-join would
+        # re-run per consumer (review r3b)
+        kept = _kept_exploded(docs, bands, max_bucket).localCheckpoint(eager=False)
         hubs = kept.groupBy("band", "sig").agg(F.min("doc_id").alias("hub"))
         edges = (
             kept.join(hubs, ["band", "sig"])

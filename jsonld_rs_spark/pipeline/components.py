@@ -124,6 +124,8 @@ def connected_components(
     consecutive-round check (a hypothetical period-k oscillation would
     fail the confirm and iteration continues).
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     edges = (
         edges_df.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))

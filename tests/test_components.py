@@ -125,9 +125,10 @@ def test_large_graph_converges_in_log_rounds(spark):
 
 
 def test_sparse_convergence_check_matches_per_round(spark):
-    """check_every=2 (default) must label identically to check_every=1 and
-    spend fewer signature jobs than rounds; the candidate-confirm step makes
-    sparse checking safe regardless of oscillation assumptions."""
+    """check_every=2 (opt-in; the default is 1) must label identically to
+    check_every=1 and spend fewer signature jobs than rounds; the
+    candidate-confirm step makes sparse checking safe regardless of
+    oscillation assumptions."""
     import random
 
     rng = random.Random(5)

@@ -205,6 +205,34 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert len(rows) == 6  # k=2 per doc
 
 
+def test_stage_breakdown_matches_pipeline_chain(sf_dir):
+    """bench.stage_breakdown hand-inlines doc_to_quad_rows' stage sequence
+    to time the seams; pin the two together by triple count over a shared
+    sample so a pipeline-stage change the copy misses fails here instead
+    of silently skewing the published stage shares."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
+    from jsonld_rs_spark.pipeline.synth import synthesize_rows
+    from jsonld_rs_spark.pipeline.triples import doc_to_quad_rows
+
+    import pandas as pd
+
+    n = 50
+    bd = bench.stage_breakdown(sf_dir, n_docs=n)
+    assert abs(sum(bd[k] for k in ("parse_blocks", "expand", "to_rdf", "canonicalize")) - 1.0) < 0.01
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").head(n)
+    want = 0
+    for d in docs.itertuples():
+        crawls = list(synthesize_rows(int(d.doc_id), d.text, d.lang, d.source))
+        latest = max(crawls, key=lambda r: r["warc_ts"])
+        want += len(doc_to_quad_rows(latest["url"], latest["html"], BUILTIN_CONTEXTS))
+    assert bd["n_triples"] == want
+
+
 def test_multimodal_plumbing(docs):
     media = synthesize_media(docs)
     feats = extract_features(media).collect()
