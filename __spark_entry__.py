@@ -704,6 +704,30 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run(spark, sf_dir)
 
 
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-verified: the events table
+    replayed through applyInPandasWithState gap-sessionization (availableNow
+    + drain + trailing-state flush) must equal DuckDB's batch lag/cumsum
+    sessionization exactly. TIMESTAMP_NTZ casts keep micros tz-independent
+    on both the emitted and the flushed side."""
+    from jsonld_rs_spark.streaming.sessionize import sessionize_replay
+
+    sessions = sessionize_replay(spark, _t(spark, sf_dir, "events"))
+
+    def us(c: str):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"CAST({c} AS TIMESTAMP_NTZ))"
+        )
+
+    return sessions.select(
+        "user_id",
+        us("session_start").alias("session_start_us"),
+        us("session_end").alias("session_end_us"),
+        F.col("n_events").cast("int").alias("n_events"),
+    ).orderBy("user_id", "session_start_us")
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_rs_spark.ops.multimodal import extract_features, synthesize_media
 
@@ -764,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "media_frame_samples": media_frame_samples,
         "streaming_event_rollup": streaming_event_rollup,
+        "streaming_sessionize_events": streaming_sessionize_events,
     }
 
 
@@ -1423,6 +1448,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day_bucket, event_type
             ORDER BY day_bucket, event_type
+        """,
+        "streaming_sessionize_events": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            ), marked AS (
+              SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                     OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                        > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e
+            ), sess AS (
+              SELECT user_id, ts_us,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us,
+                   CAST(count(*) AS INT) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
         """,
         "media_features": f"""
             WITH m AS (

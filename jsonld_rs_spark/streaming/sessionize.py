@@ -13,9 +13,14 @@ timeout (a continuous stream flushes stale sessions that way). Out-of-order
 events that land within ``gap`` of the open session extend it on either
 side. Caveats, by construction of the state model:
 
-* under ``trigger(availableNow=True)`` the query stops when input is
-  exhausted, BEFORE any processing-time timeout can fire — each user's
-  trailing open session stays in state and is NOT emitted;
+* under ``trigger(availableNow=True)`` no processing-time timeout fires
+  within any reasonable window — worse, the query never self-terminates:
+  after the data batches (~seconds) the engine schedules empty
+  "cleaning up state" batches indefinitely while timeouts are pending
+  (observed: 170+ empty batches in two minutes at sf0.01). Use
+  ``await_drained`` to stop the query once input is exhausted; each
+  user's trailing open session stays in state and is NOT emitted —
+  recover it with ``flush_open_sessions``;
 * an event older than the open session by more than ``gap`` starts a new
   session and closes the old one — late data beyond the gap horizon is not
   stitched retroactively (that would require keeping all sessions in state).
@@ -113,6 +118,35 @@ def sessionize(events_stream: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFr
     )
 
 
+def await_drained(query, timeout_sec: float = 300.0, poll_sec: float = 0.5) -> None:
+    """Wait until an ``availableNow`` stateful query has processed all
+    available input, then stop it.
+
+    With ProcessingTimeTimeout the query never self-terminates (module
+    docstring caveat #1): after the data batches it loops empty
+    state-cleanup batches until the 30-minute timeout horizon. Results are
+    complete and committed as soon as a no-data batch has run, so this
+    polls for (a) a progress record with zero input rows and (b) no data
+    available, then stops the query. Raises on timeout — a silent partial
+    drain must not masquerade as completion."""
+    import time as _t
+
+    t0 = _t.monotonic()
+    while _t.monotonic() - t0 < timeout_sec:
+        lp = query.lastProgress
+        if (
+            lp is not None
+            and lp.get("numInputRows", -1) == 0
+            and not query.status.get("isDataAvailable", True)
+        ):
+            query.stop()
+            query.awaitTermination(60)
+            return
+        _t.sleep(poll_sec)
+    query.stop()
+    raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+
+
 def flush_open_sessions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """End-of-stream flush (VERDICT r2 #7): the trailing open session per
     user that an ``availableNow`` replay leaves in state — the query stops
@@ -136,6 +170,49 @@ def flush_open_sessions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
         F.timestamp_micros(gs["end"]).alias("session_end"),
         gs["n"].alias("n_events"),
     ).filter(F.col("session_start").isNotNull())
+
+
+def sessionize_replay(
+    spark: SparkSession, events_df: DataFrame, gap_us: int = GAP_US_DEFAULT
+) -> DataFrame:
+    """Batch-complete sessionization THROUGH the streaming engine: stage the
+    events as a file-source replay, run the applyInPandasWithState operator
+    under availableNow, drain + stop (await_drained), and union the emitted
+    closed sessions with the flushed trailing state. The result equals the
+    batch gap-sessionization exactly — which makes this custom stateful
+    streaming operator ORACLE-VERIFIABLE (the driver checks it against a
+    DuckDB lag/cumsum sessionization) instead of rows-only."""
+    import shutil
+    import tempfile
+    import uuid
+
+    stage = tempfile.mkdtemp(prefix="sess_replay_in_")
+    ckpt = tempfile.mkdtemp(prefix="sess_replay_ck_")
+    name = "sessions_" + uuid.uuid4().hex[:12]
+    try:
+        events_df.select("user_id", "ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(stage)
+        q = (
+            sessionize(stream, gap_us)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q)
+        # materialize both sides BEFORE the staging dirs are removed (the
+        # flush side reads state files under ckpt) and drop the sink table
+        emitted = spark.table(name).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        flushed = flush_open_sessions(spark, ckpt).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return emitted.unionByName(flushed)
 
 
 def sessionize_batch_golden(rows, gap_us: int = GAP_US_DEFAULT):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from jsonld_rs_spark.streaming.sessionize import (
     GAP_US_DEFAULT,
+    await_drained,
     sessionize,
     sessionize_batch_golden,
 )
@@ -33,7 +34,10 @@ def test_sessionize_stream_matches_golden(spark, sf_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow + ProcessingTimeTimeout never self-terminates (it loops
+    # empty cleanup batches) — drain and stop instead of a silent
+    # awaitTermination timeout
+    await_drained(q)
     got = {
         (
             r["user_id"],
@@ -90,7 +94,7 @@ def test_flush_open_sessions_completes_available_now_replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q)
 
     def as_tuples(rows):
         return {
