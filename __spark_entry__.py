@@ -704,6 +704,15 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run(spark, sf_dir)
 
 
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.window() tumbling 6-hour streaming aggregation replayed to
+    completion — the window-assignment machinery must agree with DuckDB's
+    epoch-aligned arithmetic windows."""
+    from jsonld_rs_spark.streaming.ingest import streaming_window_counts as run
+
+    return run(spark, sf_dir)
+
+
 def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-verified: the events table
     replayed through applyInPandasWithState gap-sessionization (availableNow
@@ -788,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "media_frame_samples": media_frame_samples,
         "streaming_event_rollup": streaming_event_rollup,
+        "streaming_window_counts": streaming_window_counts,
         "streaming_sessionize_events": streaming_sessionize_events,
     }
 
@@ -1448,6 +1458,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day_bucket, event_type
             ORDER BY day_bucket, event_type
+        """,
+        "streaming_window_counts": """
+            SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+                     * 21600000000 AS window_start_us,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY window_start_us, event_type
+            ORDER BY window_start_us, event_type
         """,
         "streaming_sessionize_events": """
             WITH e AS (

@@ -105,6 +105,56 @@ def windowed_page_counts(pages_stream: DataFrame, watermark: str = "2 hours") ->
     )
 
 
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native tumbling-window streaming aggregation, oracle-checkable: the
+    events table replayed through ``F.window('ts', '6 hours')`` in complete
+    mode. Exercises the engine's real window-assignment machinery (the
+    rollup twin buckets by integer division; this one must agree with
+    DuckDB computing the same epoch-aligned 6-hour windows). TIMESTAMP_NTZ
+    keeps window boundaries timezone-free."""
+    import tempfile
+    import uuid
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="stream_winev_")
+    os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(batch_schema).format("parquet").load(stage_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                "CAST(w.start AS TIMESTAMP_NTZ))"
+            ).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "stream_winev_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return result.orderBy("window_start_us", "event_type")
+
+
 def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalent streaming aggregation, runnable under the driver's
     oracle gate: the events table is replayed through the streaming engine
