@@ -543,6 +543,15 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def corpus_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus endpoint: language-consistent, quality-floored,
+    dedup-representative kept set (lang_id + quality_score + dup_clusters
+    composed into one plan)."""
+    from jsonld_rs_spark.ops.corpus import corpus_filter
+
+    return corpus_filter(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus-wide top-20 word frequencies."""
     return (
@@ -777,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_capped_buckets_docs": minhash_capped_buckets_docs,
         "simhash_docs": simhash_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+        "corpus_filter_docs": corpus_filter_docs,
         "word_counts_top20": word_counts_top20,
         "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
@@ -1114,6 +1124,73 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
         ORDER BY doc_a, doc_b
+        """,
+        "corpus_filter_docs": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _MINHASH_EXPLODED_CTE
+        + """
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), sets AS (
+          SELECT doc_id, list_distinct(sh) AS s FROM shingled
+        ), verified AS (
+          -- VERIFIED near-dups only: exact Jaccard filter over candidates
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sets x ON x.doc_id = doc_a
+          JOIN sets y ON y.doc_id = doc_b
+          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified
+        ), reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ), rep AS (
+          SELECT a AS doc_id, min(b) AS representative FROM reach GROUP BY a
+        ), lang_scored AS (
+          SELECT doc_id, lang,
+            CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+            CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+            CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+            CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS s_es
+          FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+        ), lang_guessed AS (
+          SELECT doc_id, lang,
+            CASE
+              WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es'
+            END AS lang_guess
+          FROM lang_scored
+        ), qual AS (
+          SELECT doc_id,
+                 round(least(1.0, n_tokens_d / 100.0) * 0.7
+                       + (stops / n_tokens_d) * 0.3, 6) AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+                AS n_tokens_d,
+              CAST((length(' ' || text || ' ')
+                    - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+                   AS DOUBLE) AS stops
+            FROM documents
+          )
+        )
+        SELECT d.doc_id, d.lang, g.lang_guess, q.quality
+        FROM documents d
+        JOIN lang_guessed g USING (doc_id)
+        JOIN qual q USING (doc_id)
+        LEFT JOIN rep r USING (doc_id)
+        WHERE g.lang_guess = d.lang
+          AND q.quality >= 0.3
+          AND d.doc_id = coalesce(r.representative, d.doc_id)
+        ORDER BY d.doc_id
         """,
         "word_counts_top20": """
             SELECT word, count(*) AS n

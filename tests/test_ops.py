@@ -424,6 +424,31 @@ def test_dup_clusters_matches_union_find(spark):
     assert got[104] == 100  # min-id representative within a group
 
 
+def test_corpus_filter_keeps_representatives_only(spark, docs):
+    """The corpus endpoint: planted verified near-dup loses to its
+    representative; kept docs are language-consistent and quality-floored."""
+    from jsonld_rs_spark.ops.corpus import corpus_filter
+    from jsonld_rs_spark.ops.text import lang_id, quality_score
+
+    base = docs.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(int(base["doc_id"]) + 100000, base["text"] + " tail", base["lang"],
+          base["source"], 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(dup)
+    kept = {r["doc_id"] for r in corpus_filter(corpus).collect()}
+    # the planted near-dup (higher id, jaccard ~1) must lose to the original
+    assert int(base["doc_id"]) + 100000 not in kept
+    # every kept doc satisfies both scalar filters
+    li = {r["doc_id"]: r["lang_guess"] for r in lang_id(corpus).collect()}
+    ql = {r["doc_id"]: r["quality"] for r in quality_score(corpus).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    for d in kept:
+        assert li[d] == langs[d] and ql[d] >= 0.3
+    assert kept  # non-trivial kept set on the sandbox corpus
+
+
 def test_dup_clusters_invariants(spark, docs):
     """Structural invariants on the real corpus: representative is the
     component min (rep ≤ doc_id), the map is idempotent (rep of a rep is
