@@ -1125,33 +1125,14 @@ def oracle_sql() -> dict[str, str]:
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
         ORDER BY doc_a, doc_b
         """,
-        "corpus_filter_docs": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-        + _MINHASH_EXPLODED_CTE
-        + """
-        , cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        ), sets AS (
-          SELECT doc_id, list_distinct(sh) AS s FROM shingled
-        ), verified AS (
-          -- VERIFIED near-dups only: exact Jaccard filter over candidates
-          SELECT doc_a, doc_b
-          FROM cand
-          JOIN sets x ON x.doc_id = doc_a
-          JOIN sets y ON y.doc_id = doc_b
-          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
-        ), edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM verified
-          UNION ALL SELECT doc_b, doc_a FROM verified
-        ), reach(a, b) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-        ), rep AS (
-          SELECT a AS doc_id, min(b) AS representative FROM reach GROUP BY a
-        ), lang_scored AS (
+        # Filter-before-clustering (ADVICE r3): the scalar filters define
+        # `passing`, and the ENTIRE dedup chain — shingles, MinHash bands,
+        # the bucket cap, verified pairs, CC — runs over the passing slice
+        # only, exactly mirroring corpus_filter's Spark plan. The shared
+        # CTE strings are re-based onto `passing` by string surgery so the
+        # shingling/banding algebra cannot drift from the other oracles.
+        "corpus_filter_docs": """
+        WITH RECURSIVE lang_scored AS (
           SELECT doc_id, lang,
             CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS s_en,
             CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS s_de,
@@ -1181,16 +1162,47 @@ def oracle_sql() -> dict[str, str]:
                    AS DOUBLE) AS stops
             FROM documents
           )
+        ), passing AS (
+          SELECT d.doc_id, d.lang, g.lang_guess, q.quality, d.text
+          FROM documents d
+          JOIN lang_guessed g USING (doc_id)
+          JOIN qual q USING (doc_id)
+          WHERE g.lang_guess = d.lang AND q.quality >= 0.3
+        )"""
+        + _SHINGLES_CTE.replace("WITH words", ", words", 1).replace(
+            "FROM documents", "FROM passing"
         )
-        SELECT d.doc_id, d.lang, g.lang_guess, q.quality
-        FROM documents d
-        JOIN lang_guessed g USING (doc_id)
-        JOIN qual q USING (doc_id)
+        + _MINHASH_EXPLODED_CTE
+        + """
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), sets AS (
+          SELECT doc_id, list_distinct(sh) AS s FROM shingled
+        ), verified AS (
+          -- VERIFIED near-dups only: exact Jaccard filter over candidates
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sets x ON x.doc_id = doc_a
+          JOIN sets y ON y.doc_id = doc_b
+          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified
+        ), reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ), rep AS (
+          SELECT a AS doc_id, min(b) AS representative FROM reach GROUP BY a
+        )
+        SELECT p.doc_id, p.lang, p.lang_guess, p.quality
+        FROM passing p
         LEFT JOIN rep r USING (doc_id)
-        WHERE g.lang_guess = d.lang
-          AND q.quality >= 0.3
-          AND d.doc_id = coalesce(r.representative, d.doc_id)
-        ORDER BY d.doc_id
+        WHERE p.doc_id = coalesce(r.representative, p.doc_id)
+        ORDER BY p.doc_id
         """,
         "word_counts_top20": """
             SELECT word, count(*) AS n

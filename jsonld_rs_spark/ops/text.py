@@ -31,6 +31,30 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lang_guess_expr(score_cols):
+    """argmax over per-language score columns with deterministic first-wins
+    tie-break en > de > fr > es, else 'und'. ``score_cols`` maps lang →
+    Column (any expression — aliased columns or inline score subtrees)."""
+    best = F.greatest(*score_cols.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first-wins tie-break
+        guess = guess.when(score_cols[lang] == best, F.lit(lang))
+    return guess
+
+
+def lang_guess_col(text_col=None):
+    """``lang_guess`` as a single Column over ``text`` — the fragment
+    corpus_filter fuses into one projection (VERDICT r3 #3). Same algebra as
+    lang_id; the marker-score subtrees are inlined (cheap columnar ops,
+    CollapseProject duplication accepted as in lang_id)."""
+    padded = F.concat(F.lit(" "), text_col or F.col("text"), F.lit(" "))
+    scores = {
+        lang: _occurrences(padded, marker).cast("long")
+        for lang, marker in LANG_MARKERS.items()
+    }
+    return _lang_guess_expr(scores)
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language guess with deterministic tie-break order
     en > de > fr > es, else 'und'. (A real system uses char n-gram models;
@@ -44,11 +68,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
             for lang, marker in LANG_MARKERS.items()
         ],
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    guess = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_MARKERS:  # first-wins tie-break
-        guess = guess.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    guess = _lang_guess_expr({lang: F.col(f"score_{lang}") for lang in LANG_MARKERS})
     return scored.withColumn("lang_guess", guess)
+
+
+def quality_col(text_col=None):
+    """``quality`` (rounded to 6 decimals, in [0,1]) as a single Column over
+    ``text`` — the fragment corpus_filter fuses into one projection."""
+    text = text_col or F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_tokens = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("double")
+    stop_ratio = _occurrences(padded, STOPWORD).cast("double") / n_tokens
+    length_part = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return F.round(length_part * 0.7 + stop_ratio * 0.3, 6)
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -58,13 +92,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
     ).cast("double")
     stop_ratio = _occurrences(padded, STOPWORD).cast("double") / n_tokens
-    length_part = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-    score = F.round(length_part * 0.7 + stop_ratio * 0.3, 6)
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        score.alias("quality"),
+        quality_col().alias("quality"),
     )
 
 

@@ -145,7 +145,12 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination()
+        # stateless availableNow queries self-terminate, but a stalled one
+        # must fail loudly, not hang the driver gate forever (ADVICE r3) —
+        # awaitTermination(N) returns False on timeout
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_window_counts did not finish in 300s")
     finally:
         import shutil
 
@@ -204,7 +209,10 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination()
+        # see streaming_window_counts: loud timeout instead of a silent hang
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_event_rollup did not finish in 300s")
     finally:
         # the returned frame reads the in-memory sink, not the staged files
         import shutil

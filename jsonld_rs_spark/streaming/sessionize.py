@@ -140,7 +140,11 @@ def await_drained(query, timeout_sec: float = 300.0, poll_sec: float = 0.5) -> N
             and not query.status.get("isDataAvailable", True)
         ):
             query.stop()
-            query.awaitTermination(60)
+            # awaitTermination(N) returns False on timeout — a stop() that
+            # hasn't completed means the state store may not be quiescent
+            # yet, and flush_open_sessions must not read it (ADVICE r3)
+            if not query.awaitTermination(60):
+                raise TimeoutError("query.stop() did not terminate within 60s")
             return
         _t.sleep(poll_sec)
     query.stop()
@@ -173,7 +177,10 @@ def flush_open_sessions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
 
 
 def sessionize_replay(
-    spark: SparkSession, events_df: DataFrame, gap_us: int = GAP_US_DEFAULT
+    spark: SparkSession,
+    events_df: DataFrame,
+    gap_us: int = GAP_US_DEFAULT,
+    n_stage_files: int = 8,
 ) -> DataFrame:
     """Batch-complete sessionization THROUGH the streaming engine: stage the
     events as a file-source replay, run the applyInPandasWithState operator
@@ -181,7 +188,15 @@ def sessionize_replay(
     closed sessions with the flushed trailing state. The result equals the
     batch gap-sessionization exactly — which makes this custom stateful
     streaming operator ORACLE-VERIFIABLE (the driver checks it against a
-    DuckDB lag/cumsum sessionization) instead of rows-only."""
+    DuckDB lag/cumsum sessionization) instead of rows-only.
+
+    Staging is PARTITIONED production-shape (VERDICT r3 #7): the input is
+    hash-repartitioned on ``user_id`` into ``n_stage_files`` files, so the
+    file source starts with N parallel partitions instead of one writer /
+    one reader. Hash staging also pins each user's full history to exactly
+    one file — so however the engine groups files into micro-batches, a
+    user's events always arrive in a single batch and the cross-batch
+    out-of-order caveat (module docstring) can never change the result."""
     import shutil
     import tempfile
     import uuid
@@ -190,9 +205,9 @@ def sessionize_replay(
     ckpt = tempfile.mkdtemp(prefix="sess_replay_ck_")
     name = "sessions_" + uuid.uuid4().hex[:12]
     try:
-        events_df.select("user_id", "ts").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        events_df.select("user_id", "ts").repartition(
+            n_stage_files, "user_id"
+        ).write.mode("overwrite").parquet(stage)
         stream = spark.readStream.schema("user_id long, ts timestamp").parquet(stage)
         q = (
             sessionize(stream, gap_us)

@@ -463,7 +463,8 @@ def test_dup_clusters_invariants(spark, docs):
 
 
 def test_ivf_topk_recall_floor_on_clustered_corpus(spark):
-    """IVF with probe=4 of 16 cells on clustered data: recall@10 must be
+    """IVF with derived defaults (⌈√n⌉ centroids, ⌈√n_centroids⌉ probed —
+    320 vectors → 18 cells, 5 probed) on clustered data: recall@10 must be
     high (the probed cells contain the query's cluster)."""
     import numpy as np
 
