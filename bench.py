@@ -34,6 +34,10 @@ HEADLINE = [
     "minhash_dup_pairs_docs",
     "simhash_docs",
     "ann_topk_cosine",
+    # the round-3 heavy operators (VERDICT r3 #4): a regression in the most
+    # expensive composed ops must be visible in BENCH_r*, not just tests
+    "tfidf_top_terms_docs",
+    "corpus_filter_docs",
 ]
 
 
@@ -182,10 +186,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark, CPUS)
 
+    # Per-query window attestation (VERDICT r3 #1): the global probes below
+    # are point-in-time while the headline queries run over minutes — a
+    # quiet probe at the end cannot certify a window that was stolen in the
+    # middle. Sample a cheap noise+width probe immediately BEFORE each
+    # query's best-of-N trials and once after the last, so any per-query
+    # wall drift is attributable to the host window that produced it.
     per_query = {}
+    query_probes = {}
     for name in HEADLINE:
+        query_probes[name] = _window_probe(CPUS)
         dt, _ = _run(queries[name], spark, SF_DIR)
         per_query[name] = round(dt, 3)
+    query_probes["after_last"] = _window_probe(CPUS)
+
+    # kg_components cost attribution (VERDICT r3 #8): rounds/jobs of the
+    # last CC run inside the timed trials — a wall drift with unchanged
+    # rounds is host noise, with more rounds it's the graph/algorithm.
+    from jsonld_rs_spark.pipeline import components as _components
+
+    cc_stats = dict(_components.LAST_STATS)
 
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
     tps, n_triples, extract_sec = kg_throughput(spark, SF_DIR, replicate=replicate)
@@ -217,6 +237,9 @@ def main() -> None:
             "triples_per_sec, measured uncached"
         ),
         "queries": per_query,
+        "query_probes": query_probes,
+        "cc_rounds": cc_stats.get("rounds"),
+        "cc_jobs": cc_stats.get("jobs"),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "triples_per_sec": round(tps, 1),
         "n_triples": n_triples,
@@ -318,7 +341,7 @@ def _timed_burn(n: int) -> float:
     return n / (time.monotonic() - t0)
 
 
-def _parallel_speedup(nproc: int, rate1: float) -> float:
+def _parallel_speedup(nproc: int, rate1: float, per: int = 400_000) -> float:
     """Aggregate nproc-process sha256 rate over the 1-thread rate — the
     width-sensitive half of the window-quality attestation. Each worker
     times ITS OWN burn (fork/teardown excluded) and the aggregate is the
@@ -327,10 +350,24 @@ def _parallel_speedup(nproc: int, rate1: float) -> float:
     around-the-pool version folded fork cost into a sub-second window)."""
     import multiprocessing as mp
 
-    per = 400_000
     with mp.Pool(nproc) as pool:
         rates = pool.map(_timed_burn, [per] * nproc)
     return round(sum(rates) / rate1, 2)
+
+
+def _window_probe(cpus: int, burn: int = 1_000_000) -> dict:
+    """Cheap (~1.5 s) point sample of window quality, taken per headline
+    query: 1-thread sha256 time normalized to the 2M-iteration reference
+    burn (quiet ≈ 1.0-1.6 s), plus the width-sensitive parallel speedup
+    (quiet ≈ 0.8×min(nproc, 16 physical)). Shorter burns than the global
+    probes — a probe that cost as much as the query would double the bench —
+    so single samples are noisier; read them as a bracket around each
+    query, not a verdict on their own."""
+    rate1 = _timed_burn(burn)
+    return {
+        "noise_sec": round(2_000_000 / rate1, 3),
+        "speedup": _parallel_speedup(cpus, rate1, per=200_000),
+    }
 
 
 def _cpu_ceiling_8_to_32() -> float:

@@ -96,6 +96,13 @@ def _signature(edges: DataFrame):
     return (row["n"], row["h"])
 
 
+# Most recent connected_components run's {'rounds': N, 'jobs': M} — bench.py
+# reads this after timing kg_components so every BENCH line attributes a
+# kg_components wall-time drift to extra CC rounds vs host noise (VERDICT r3
+# #8). Driver-side only; last completed run wins.
+LAST_STATS: dict = {}
+
+
 def connected_components(
     edges_df: DataFrame,
     max_iter: int = 30,
@@ -171,6 +178,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    LAST_STATS.clear()
+    LAST_STATS.update({"rounds": rounds, "jobs": jobs})
     if stats is not None:
         stats["rounds"] = rounds
         stats["jobs"] = jobs
