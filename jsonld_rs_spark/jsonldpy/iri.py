@@ -84,6 +84,16 @@ def resolve(base: str, reference: str) -> str:
         # returns base unchanged (urllib quirk); the reference's url crate
         # (WHATWG parser) drops the fragment, as the RFC does.
         return base.split("#", 1)[0]
+    if reference.startswith("#"):
+        # Fragment-only reference: T = base sans fragment + R (§5.2.2 keeps
+        # Base.path/query verbatim, R.fragment may be DEFINED-EMPTY — a lone
+        # '#' keeps its '#' in recomposition §5.3; urljoin drops it).
+        return base.split("#", 1)[0] + reference
+    if reference.startswith("?"):
+        # Query-only reference: T.query = R.query even when defined-empty.
+        # urljoin('http://a/doc?old=1', '?') wrongly KEEPS the old query;
+        # per §5.2.2/§5.3 (and the url crate) the result is 'http://a/doc?'.
+        return base.split("#", 1)[0].split("?", 1)[0] + reference
     if (
         reference
         and "?" not in base
@@ -101,5 +111,18 @@ def resolve(base: str, reference: str) -> str:
                 return base[: slash + 1] + reference
     scheme = base.split(":", 1)[0].lower()
     _ensure_scheme_registered(scheme)
-    # urljoin('http://a/b', '') == 'http://a/b' (minus fragment) per RFC.
-    return urljoin(base, reference)
+    result = urljoin(base, reference)
+    # Defined-but-empty TRAILING components ('path?' / 'path#'): §5.3
+    # recomposition emits the bare separator when the component is defined,
+    # urljoin silently drops it. Queries may legally contain '?', so
+    # defined-empty means nothing after the FIRST '?' of the pre-fragment
+    # part; fragment defined-empty means nothing after the first '#'.
+    before_frag, frag_sep, frag = reference.partition("#")
+    if frag_sep and frag == "" and not result.endswith("#"):
+        result += "#"
+    _, q_sep, q = before_frag.partition("?")
+    if q_sep and q == "":
+        head, h_sep, tail = result.partition("#")
+        if "?" not in head:
+            result = head + "?" + h_sep + tail
+    return result

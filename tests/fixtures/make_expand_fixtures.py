@@ -1292,6 +1292,1155 @@ CASES += [
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# Round-4 long tail (VERDICT r3 #5): exotic container × @reverse
+# compositions, nested @list edge cases, IRI-resolution corners, context
+# machinery, and drop-rule corners — the shapes the full public W3C suite
+# iterates (reference test_expand.rs:119-124) that the curated set lacked.
+# Same authoring discipline: outputs generated, then hand-reviewed against
+# the JSON-LD 1.0 algorithm + reference semantics before committing.
+# ---------------------------------------------------------------------------
+
+EX = "http://ex.example/"
+
+CASES += [
+    # -- container × @reverse compositions -------------------------------
+    (
+        "t0117",
+        "reverse term with @container @index: array values per index key",
+        {
+            "@context": {
+                "childOf": {
+                    "@reverse": EX + "parentOf",
+                    "@container": "@index",
+                }
+            },
+            "@id": EX + "kid",
+            "childOf": {
+                "a": [{"@id": EX + "ma"}, {"@id": EX + "pa"}],
+                "b": {"@id": EX + "guardian"},
+            },
+        },
+        {},
+    ),
+    (
+        "t0118",
+        "reverse term with @container @set AND @type:@id coercion on strings",
+        {
+            "@context": {
+                "memberOf": {
+                    "@reverse": EX + "hasMember",
+                    "@type": "@id",
+                    "@container": "@set",
+                }
+            },
+            "@id": EX + "alice",
+            "memberOf": [EX + "choir", EX + "club"],
+        },
+        {},
+    ),
+    (
+        "t0119",
+        "index-container reverse term inside an explicit @reverse map",
+        {
+            "@context": {
+                "rel": {"@id": EX + "rel", "@container": "@index"},
+            },
+            "@id": EX + "hub",
+            "@reverse": {
+                "rel": {
+                    "k1": {"@id": EX + "s1"},
+                    "k2": [{"@id": EX + "s2"}, {"@id": EX + "s3"}],
+                }
+            },
+        },
+        {},
+    ),
+    (
+        "t0120",
+        "double flip: reverse term inside a node that is itself a reverse value",
+        {
+            "@context": {
+                "childOf": {"@reverse": EX + "parentOf"},
+                "name": EX + "name",
+            },
+            "@id": EX + "x",
+            "childOf": {
+                "@id": EX + "mid",
+                "childOf": {"@id": EX + "deep", "name": "leaf"},
+            },
+        },
+        {},
+    ),
+    (
+        "t0121",
+        "index-container reverse term whose node values carry forward AND reverse props",
+        {
+            "@context": {
+                "cites": {"@reverse": EX + "citedBy", "@container": "@index"},
+                "title": EX + "title",
+                "authorOf": {"@reverse": EX + "author"},
+            },
+            "@id": EX + "paper",
+            "cites": {
+                "sec1": {
+                    "@id": EX + "other",
+                    "title": "Other Paper",
+                    "authorOf": {"@id": EX + "bob"},
+                }
+            },
+        },
+        {},
+    ),
+    (
+        "t0122",
+        "aliased @reverse keyword with term-mapped keys and @type:@id coercion",
+        {
+            "@context": {
+                "rev": "@reverse",
+                "knows": {"@id": EX + "knows", "@type": "@id"},
+            },
+            "@id": EX + "me",
+            "rev": {"knows": EX + "friend"},
+        },
+        {},
+    ),
+    (
+        "t0123",
+        "reverse term node values resolve relative @id against base",
+        {
+            "@context": {"childOf": {"@reverse": EX + "parentOf"}},
+            "@id": "kids/1",
+            "childOf": {"@id": "parents/9"},
+        },
+        {"base": "https://site.example/reg/entry"},
+    ),
+    (
+        "t0124",
+        "@reverse map on a node nested inside a named graph",
+        {
+            "@context": {"name": EX + "name"},
+            "@id": EX + "g",
+            "@graph": [
+                {
+                    "@id": EX + "inner",
+                    "name": "inner",
+                    "@reverse": {EX + "points": {"@id": EX + "src"}},
+                }
+            ],
+        },
+        {},
+    ),
+    (
+        "t0125",
+        "reverse term with empty array keeps an EMPTY reverse entry (reference "
+        "quirk: eager insert, expand.rs:551; the W3C algorithm creates entries "
+        "lazily per item and would emit only the bare node)",
+        {
+            "@context": {
+                "childOf": {"@reverse": EX + "parentOf"},
+                "name": EX + "name",
+            },
+            "@id": EX + "x",
+            "name": "still here",
+            "childOf": [],
+        },
+        {},
+    ),
+    (
+        "t0126",
+        "two reverse terms mapping to the same IRI merge into one reverse entry",
+        {
+            "@context": {
+                "childOf": {"@reverse": EX + "parentOf"},
+                "kidOf": {"@reverse": EX + "parentOf"},
+            },
+            "@id": EX + "x",
+            "childOf": {"@id": EX + "a"},
+            "kidOf": {"@id": EX + "b"},
+        },
+        {},
+    ),
+    (
+        "t0127",
+        "same IRI used forward and reverse on one node keeps both directions",
+        {
+            "@context": {
+                "parentOf": EX + "parentOf",
+                "childOf": {"@reverse": EX + "parentOf"},
+            },
+            "@id": EX + "x",
+            "parentOf": {"@id": EX + "down"},
+            "childOf": {"@id": EX + "up"},
+        },
+        {},
+    ),
+    (
+        "t0128",
+        "reverse chain two deep: reverse value node containing a reverse term",
+        {
+            "@context": {"childOf": {"@reverse": EX + "parentOf"}},
+            "@id": EX + "leaf",
+            "childOf": {
+                "@id": EX + "mid",
+                "@reverse": {EX + "owns": {"@id": EX + "owner"}},
+            },
+        },
+        {},
+    ),
+    (
+        "t0129",
+        "index-container reverse term with non-map value expands as plain reverse",
+        {
+            "@context": {
+                "memberOf": {
+                    "@reverse": EX + "hasMember",
+                    "@type": "@id",
+                    "@container": "@index",
+                }
+            },
+            "@id": EX + "alice",
+            "memberOf": EX + "choir",
+        },
+        {},
+    ),
+    (
+        "t0130",
+        "@reverse map whose inner nodes use an aliased @id",
+        {
+            "@context": {"iri": "@id", "knows": EX + "knows"},
+            "iri": EX + "me",
+            "@reverse": {"knows": {"iri": EX + "them"}},
+        },
+        {},
+    ),
+    (
+        "t0131",
+        "index map of nodes each carrying a reverse term (container inside container)",
+        {
+            "@context": {
+                "entries": {"@id": EX + "entries", "@container": "@index"},
+                "childOf": {"@reverse": EX + "parentOf"},
+            },
+            "@id": EX + "reg",
+            "entries": {
+                "e1": {"@id": EX + "n1", "childOf": {"@id": EX + "p1"}},
+                "e2": {"@id": EX + "n2", "childOf": {"@id": EX + "p2"}},
+            },
+        },
+        {},
+    ),
+    # -- nested @list edge cases -----------------------------------------
+    (
+        "t0132",
+        "list container with a single scalar wraps to a one-element list",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+            "@id": EX + "x",
+            "l": "only",
+        },
+        {},
+    ),
+    (
+        "t0133",
+        "list container with null value: the property drops entirely",
+        {
+            "@context": {
+                "l": {"@id": EX + "l", "@container": "@list"},
+                "name": EX + "name",
+            },
+            "@id": EX + "x",
+            "name": "kept",
+            "l": None,
+        },
+        {},
+    ),
+    (
+        "t0134",
+        "node inside a list carrying its own list property (list→node→list)",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+            "@id": EX + "x",
+            "l": [{"@id": EX + "n", "l": ["inner1", "inner2"]}, "tail"],
+        },
+        {},
+    ),
+    (
+        "t0135",
+        "explicit @list of value objects with mixed datatypes and languages",
+        {
+            "@id": EX + "x",
+            EX + "l": {
+                "@list": [
+                    {"@value": "2020-01-01", "@type": EX + "date"},
+                    {"@value": "chat", "@language": "FR"},
+                    {"@value": 7},
+                    "plain",
+                ]
+            },
+        },
+        {},
+    ),
+    (
+        "t0136",
+        "explicit @list objects as index-map entry values",
+        {
+            "@context": {
+                "m": {"@id": EX + "m", "@container": "@index"},
+            },
+            "@id": EX + "x",
+            "m": {
+                "i1": {"@list": ["a", "b"]},
+                "i2": {"@list": []},
+            },
+        },
+        {},
+    ),
+    (
+        "t0137",
+        "explicit @list with null members: nulls drop, list survives ordered",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+            "@id": EX + "x",
+            "l": {"@list": [None, "a", None, "b", None]},
+        },
+        {},
+    ),
+    (
+        "t0138",
+        "list container + term @language: strings tagged, numbers bare, nulls drop",
+        {
+            "@context": {
+                "l": {"@id": EX + "l", "@container": "@list", "@language": "de"}
+            },
+            "@id": EX + "x",
+            "l": ["wort", 5, None, "zwei"],
+        },
+        {},
+    ),
+    (
+        "t0139",
+        "three-level list→node→list→node nesting expands in place",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+            "@id": EX + "top",
+            "l": [
+                {
+                    "@id": EX + "mid",
+                    "l": [{"@id": EX + "leaf", EX + "p": "v"}],
+                }
+            ],
+        },
+        {},
+    ),
+    (
+        "t0140",
+        "list under a forward property of a reverse-value node",
+        {
+            "@context": {
+                "childOf": {"@reverse": EX + "parentOf"},
+                "steps": {"@id": EX + "steps", "@container": "@list"},
+            },
+            "@id": EX + "x",
+            "childOf": {"@id": EX + "parent", "steps": [1, 2, 3]},
+        },
+        {},
+    ),
+    (
+        "t0141",
+        "aliased @list keyword builds a list object",
+        {
+            "@context": {"lst": "@list"},
+            "@id": EX + "x",
+            EX + "l": {"lst": ["a", "b"]},
+        },
+        {},
+    ),
+    (
+        "t0142",
+        "list container + @type:@id coercion resolves relative members against base",
+        {
+            "@context": {
+                "chain": {
+                    "@id": EX + "chain",
+                    "@container": "@list",
+                    "@type": "@id",
+                }
+            },
+            "@id": "root",
+            "chain": ["a/1", "../up", "#frag"],
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0143",
+        "@list with @index keeps both through an index-container term",
+        {
+            "@context": {
+                "m": {"@id": EX + "m", "@container": "@index"},
+            },
+            "@id": EX + "x",
+            "m": {"k": {"@list": ["a"], "@index": "override"}},
+        },
+        {},
+    ),
+    (
+        "t0144",
+        "empty-string and whitespace members survive in list order",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@list"}},
+            "@id": EX + "x",
+            "l": ["", " ", "\t", "end"],
+        },
+        {},
+    ),
+    (
+        "t0145",
+        "long mixed list preserves order across scalars, nodes, and typed values",
+        {
+            "@id": EX + "x",
+            EX + "l": {
+                "@list": [
+                    1,
+                    "two",
+                    {"@id": EX + "three"},
+                    {"@value": "4", "@type": EX + "num"},
+                    True,
+                    5.5,
+                    {"@value": "sechs", "@language": "de"},
+                ]
+            },
+        },
+        {},
+    ),
+    (
+        "t0146",
+        "two list-container terms for the same IRI keep separate list values",
+        {
+            "@context": {
+                "l1": {"@id": EX + "l", "@container": "@list"},
+                "l2": {"@id": EX + "l", "@container": "@list"},
+            },
+            "@id": EX + "x",
+            "l1": ["a"],
+            "l2": ["b"],
+        },
+        {},
+    ),
+    # -- IRI resolution corners (RFC 3986 long tail) ---------------------
+    (
+        "t0147",
+        "RFC3986: base with explicit port — relative refs keep host:port",
+        {
+            "@id": "item",
+            EX + "p": {"@id": "/abs"},
+        },
+        {"base": "https://host.example:8443/api/v1/doc"},
+    ),
+    (
+        "t0148",
+        "RFC3986: base with userinfo — authority survives resolution intact",
+        {
+            "@id": "child",
+            EX + "p": "v",
+        },
+        {"base": "ftp://user:pw@files.example/dir/f"},
+    ),
+    (
+        "t0149",
+        "RFC3986: IPv6 literal authority survives relative resolution",
+        {
+            "@id": "sub/item",
+            EX + "p": "v",
+        },
+        {"base": "http://[2001:db8::1]:8080/root/doc"},
+    ),
+    (
+        "t0150",
+        "colon-containing value passes through IRI expansion UNRESOLVED: "
+        "expand_iri's compact-IRI split treats any 'p:s' with unknown prefix "
+        "as an absolute IRI and never reaches document-relative resolution "
+        "(JSON-LD 1.0 IRI expansion; RFC3986 alone would resolve to "
+        "dir/this:that)",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "./this:that",
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0151",
+        "RFC3986: lone '#' resolves to base plus empty fragment",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "#",
+        },
+        {"base": "https://site.example/dir/doc?q=1"},
+    ),
+    (
+        "t0152",
+        "RFC3986: lone '?' replaces the query with an empty one, keeps path",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "?",
+        },
+        {"base": "https://site.example/dir/doc?old=1"},
+    ),
+    (
+        "t0153",
+        "RFC3986: consecutive slashes inside a path are ordinary segments",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": ["a//b", "//netpath.example/c"],
+        },
+        {"base": "https://site.example/d1/d2/doc"},
+    ),
+    (
+        "t0154",
+        "RFC3986: query+fragment reference replaces both, keeps path",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "?q=2#sec",
+        },
+        {"base": "https://site.example/dir/doc?q=1#old"},
+    ),
+    (
+        "t0155",
+        "RFC3986: trailing-slash base treats the directory itself as segment zero",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": "leaf",
+            "p": ["../sib", "./same", "kid"],
+        },
+        {"base": "https://site.example/a/b/"},
+    ),
+    (
+        "t0156",
+        "RFC3986: percent-encoded characters in base and reference pass through",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "sp%20ace/%C3%A9",
+        },
+        {"base": "https://site.example/enc%2Fdir/doc"},
+    ),
+    (
+        "t0157",
+        "RFC3986: path segments with semicolon params still honor dot-segments",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "g;x=1/./y",
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0158",
+        "RFC3986: percent-encoded '..%2F' is NOT a dot-segment",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "..%2Fup",
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0159",
+        "RFC3986: base WITH fragment — refs drop the base fragment (regression "
+        "pin for the round-3 iri.resolve empty-ref bug), non-empty and empty",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": ["", "other"],
+        },
+        {"base": "https://site.example/dir/doc#oldfrag"},
+    ),
+    (
+        "t0160",
+        "RFC3986: scheme-relative reference with its own query and fragment",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": "//h2.example/p?q=9#f",
+        },
+        {"base": "https://site.example/dir/doc?q=1"},
+    ),
+    (
+        "t0161",
+        "absolute IRI values pass through resolution untouched (mixed array)",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+            "@id": EX + "x",
+            "p": ["urn:isbn:0451450523", "mailto:a@b.example", "rel/ative"],
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0162",
+        "same relative string: @type resolves via vocab, @id via base",
+        {
+            "@context": {"@vocab": "http://vocab.example/ns#"},
+            "@id": "thing",
+            "@type": "thing",
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    # -- context & term machinery ----------------------------------------
+    (
+        "t0163",
+        "empty @context array is a no-op",
+        {
+            "@context": [],
+            "@id": EX + "x",
+            EX + "p": "v",
+        },
+        {},
+    ),
+    (
+        "t0164",
+        "@context array [null, {...}]: reset then rebuild in sequence",
+        {
+            "@context": [
+                {"@vocab": "http://old.example/"},
+                None,
+                {"name": EX + "name"},
+            ],
+            "@id": EX + "x",
+            "name": "built after reset",
+            "orphan": "dropped (vocab was reset)",
+        },
+        {},
+    ),
+    (
+        "t0165",
+        "term whose @id is the keyword @type acts as a keyword alias",
+        {
+            "@context": {"kind": {"@id": "@type"}},
+            "@id": EX + "x",
+            "kind": EX + "T",
+        },
+        {},
+    ),
+    (
+        "t0166",
+        "three-deep prefix chaining: term via term via term",
+        {
+            "@context": {
+                "a": "http://chain.example/base/",
+                "b": "a:mid/",
+                "c": "b:leaf",
+            },
+            "@id": EX + "x",
+            "c": "v",
+        },
+        {},
+    ),
+    (
+        "t0167",
+        "language-map keys beat the context default language",
+        {
+            "@context": {
+                "@language": "en",
+                "label": {"@id": EX + "label", "@container": "@language"},
+                "plain": EX + "plain",
+            },
+            "@id": EX + "x",
+            "label": {"de": "Hund"},
+            "plain": "dog",
+        },
+        {},
+    ),
+    (
+        "t0168",
+        "term @language null inside a language-defaulted context blocks tagging "
+        "under @set container",
+        {
+            "@context": {
+                "@language": "en",
+                "bare": {
+                    "@id": EX + "bare",
+                    "@language": None,
+                    "@container": "@set",
+                },
+            },
+            "@id": EX + "x",
+            "bare": "untagged",
+        },
+        {},
+    ),
+    (
+        "t0169",
+        "context keys process in SORTED order (serde_json BTreeMap quirk): "
+        "'Z' defines after 'a' regardless of JSON order",
+        {
+            "@context": {
+                "z": "http://late.example/",
+                "a": "http://early.example/",
+                "zp": {"@id": "z:prop"},
+                "ap": {"@id": "a:prop"},
+            },
+            "@id": EX + "x",
+            "zp": "v1",
+            "ap": "v2",
+        },
+        {},
+    ),
+    (
+        "t0170",
+        "scoped override: inner context redefines a prefix used by an outer term's "
+        "future uses (term IRIs resolve at definition time, not use time)",
+        {
+            "@context": {
+                "pre": "http://one.example/",
+                "p": {"@id": "pre:prop"},
+            },
+            "@id": EX + "x",
+            "p": "outer",
+            EX + "sub": {
+                "@context": {"pre": "http://two.example/"},
+                "@id": EX + "inner",
+                "p": "inner still one.example (defined earlier)",
+                "pre:direct": "two.example now",
+            },
+        },
+        {},
+    ),
+    (
+        "t0171",
+        "term mapping to a blank-node identifier as @id",
+        {
+            "@context": {"secret": {"@id": "_:hidden"}},
+            "@id": EX + "x",
+            "secret": "v",
+        },
+        {},
+    ),
+    (
+        "t0172",
+        "index-map keys emit lexicographically sorted ('10' before '2')",
+        {
+            "@context": {"m": {"@id": EX + "m", "@container": "@index"}},
+            "@id": EX + "x",
+            "m": {"2": "two", "10": "ten", "1": "one"},
+        },
+        {},
+    ),
+    (
+        "t0173",
+        "keyword aliases for @value and @language compose in one value object",
+        {
+            "@context": {"val": "@value", "tongue": "@language"},
+            "@id": EX + "x",
+            EX + "p": {"val": "bonjour", "tongue": "FR"},
+        },
+        {},
+    ),
+    (
+        "t0174",
+        "aliased @set unwraps on a property value",
+        {
+            "@context": {"coll": "@set"},
+            "@id": EX + "x",
+            EX + "p": {"coll": ["a", "b"]},
+        },
+        {},
+    ),
+    (
+        "t0175",
+        "@type values expand through term definitions (term → absolute IRI)",
+        {
+            "@context": {"Creature": EX + "Creature"},
+            "@id": EX + "x",
+            "@type": ["Creature", EX + "Direct"],
+        },
+        {},
+    ),
+    (
+        "t0176",
+        "later array-context member fully REPLACES a term definition "
+        "(container from the first member does not survive)",
+        {
+            "@context": [
+                {"p": {"@id": EX + "p", "@container": "@list"}},
+                {"p": {"@id": EX + "p"}},
+            ],
+            "@id": EX + "x",
+            "p": ["a", "b"],
+        },
+        {},
+    ),
+    (
+        "t0177",
+        "term chains through a prefix that is itself vocab-expanded",
+        {
+            "@context": {
+                "@vocab": "http://vocab.example/ns#",
+                "shortcut": "inner",
+                "deep": {"@id": "shortcut"},
+            },
+            "@id": EX + "x",
+            "deep": "v",
+            "shortcut": "w",
+        },
+        {},
+    ),
+    (
+        "t0178",
+        "expandContext option seeds terms; inline context overrides per doc",
+        {
+            "@context": {"name": EX + "override#name"},
+            "@id": EX + "x",
+            "name": "overridden",
+            "age": 3,
+        },
+        {
+            "expandContext": {
+                "name": EX + "seed#name",
+                "age": EX + "seed#age",
+            }
+        },
+    ),
+    # -- node/value drop rules & compositions ----------------------------
+    (
+        "t0179",
+        "free-floating node with ONLY @index survives (the drop rules cover "
+        "value objects, only-@id, and lone-@language — not lone-@index)",
+        {"@index": "i"},
+        {},
+    ),
+    (
+        "t0180",
+        "a term named like an at-keyword ('@foo') is ignored even when defined "
+        "in the context; a node left with only @id drops at the root",
+        {
+            "@context": {"@foo": EX + "foo"},
+            "@id": EX + "x",
+            "@foo": "v",
+        },
+        {},
+    ),
+    (
+        "t0181",
+        "empty-string property key cannot expand to an IRI and drops",
+        {
+            "@id": EX + "x",
+            "": "dropped",
+            EX + "kept": "v",
+        },
+        {},
+    ),
+    (
+        "t0182",
+        "@value null with @type: the whole value drops, then the only-@id node drops",
+        {
+            "@id": EX + "x",
+            EX + "p": {"@value": None, "@type": EX + "T"},
+        },
+        {},
+    ),
+    (
+        "t0183",
+        "duplicate identical node references are NOT deduplicated at expansion",
+        {
+            "@id": EX + "x",
+            EX + "p": [{"@id": EX + "a"}, {"@id": EX + "a"}],
+        },
+        {},
+    ),
+    (
+        "t0184",
+        "exotic composition: index map → named graph member → reverse → list",
+        {
+            "@context": {
+                "parts": {"@id": EX + "parts", "@container": "@index"},
+                "childOf": {"@reverse": EX + "parentOf"},
+                "steps": {"@id": EX + "steps", "@container": "@list"},
+            },
+            "@id": EX + "root",
+            "parts": {
+                "k1": {
+                    "@id": EX + "g1",
+                    "@graph": [
+                        {
+                            "@id": EX + "m",
+                            "childOf": {"@id": EX + "p1", "steps": ["a", 2]},
+                        }
+                    ],
+                }
+            },
+        },
+        {},
+    ),
+    (
+        "t0185",
+        "@set inside an explicit @list unwraps and splices (no list-of-lists)",
+        {
+            "@id": EX + "x",
+            EX + "l": {"@list": [{"@set": ["a", "b"]}, "c"]},
+        },
+        {},
+    ),
+    (
+        "t0186",
+        "index container on a term whose entry value is a named-graph node",
+        {
+            "@context": {"g": {"@id": EX + "g", "@container": "@index"}},
+            "@id": EX + "x",
+            "g": {"k": {"@graph": [{"@id": EX + "n", EX + "p": "v"}]}},
+        },
+        {},
+    ),
+    (
+        "t0187",
+        "term @type coercion does NOT touch explicit value objects (bare or typed)",
+        {
+            "@context": {"p": {"@id": EX + "p", "@type": EX + "Coerce"}},
+            "@id": EX + "x",
+            "p": [
+                {"@value": "bare"},
+                {"@value": "typed", "@type": EX + "Explicit"},
+                "raw gets coerced",
+            ],
+        },
+        {},
+    ),
+    (
+        "t0188",
+        "relative @vocab is accepted verbatim (reference quirk: no IRI "
+        "validation, context.py module docstring); colon-free expanded "
+        "properties then drop",
+        {
+            "@context": {"@vocab": "rel/"},
+            "@id": EX + "x",
+            "p": "dropped (expands to rel/p, not an absolute IRI)",
+            EX + "kept": "v",
+        },
+        {},
+    ),
+    (
+        "t0189",
+        "unicode term names and unicode prefix composition expand raw",
+        {
+            "@context": {"prénom": EX + "name", "ü": EX + "u#"},
+            "@id": EX + "x",
+            "prénom": "Zoé",
+            "ü:tail": "v",
+        },
+        {},
+    ),
+    (
+        "t0190",
+        "multi-subtag language tags lowercase wholesale (EN-Latn-US)",
+        {
+            "@id": EX + "x",
+            EX + "p": {"@value": "v", "@language": "EN-Latn-US"},
+        },
+        {},
+    ),
+    (
+        "t0191",
+        "one IRI via a coerced and a plain term: node ref and literal coexist",
+        {
+            "@context": {
+                "pa": {"@id": EX + "p", "@type": "@id"},
+                "pb": EX + "p",
+            },
+            "@id": EX + "x",
+            "pa": "rel",
+            "pb": "rel",
+        },
+        {"base": "https://site.example/dir/doc"},
+    ),
+    (
+        "t0192",
+        "top-level array of node objects, each with its own context",
+        [
+            {"@context": {"n": EX + "a#n"}, "@id": EX + "one", "n": 1},
+            {"@context": {"n": EX + "b#n"}, "@id": EX + "two", "n": 2},
+        ],
+        {},
+    ),
+    (
+        "t0193",
+        "value object with @index plus @language keeps both",
+        {
+            "@id": EX + "x",
+            EX + "p": {"@value": "chat", "@language": "fr", "@index": "i9"},
+        },
+        {},
+    ),
+    (
+        "t0194",
+        "nodes under a vocab-expanded @type-less property key with @id aliasing "
+        "inside an index map",
+        {
+            "@context": {
+                "@vocab": EX,
+                "iri": "@id",
+                "m": {"@container": "@index"},
+            },
+            "iri": EX + "x",
+            "m": {"z": {"iri": EX + "inner", "w": "v"}},
+        },
+        {},
+    ),
+    (
+        "t0195",
+        "@graph alongside ordinary properties AND @index on one node",
+        {
+            "@id": EX + "g",
+            "@index": "gidx",
+            EX + "meta": "m",
+            "@graph": [{"@id": EX + "in", EX + "p": "v"}],
+        },
+        {},
+    ),
+    (
+        "t0196",
+        "empty top-level object expands to an empty array",
+        {},
+        {},
+    ),
+    (
+        "t0197",
+        "explicit @list DIRECTLY nested in @list expands (quirk shared by the "
+        "reference and the 1.0 algorithm's guard placement: the array-branch "
+        "list-of-lists check fires only when the ACTIVE PROPERTY is @list or "
+        "has a @list container, expand.rs:162-177; the @list-branch check "
+        "only catches a non-array value expanding TO a list object, "
+        "expand.rs:308-311 — 1.1 later legalized nested lists)",
+        {
+            "@id": EX + "x",
+            EX + "p": {"@list": [{"@list": ["inner"]}, "flat"]},
+        },
+        {},
+    ),
+    (
+        "t0198",
+        "empty-string @id resolves to the base sans fragment",
+        {"@id": "", EX + "p": "v"},
+        {"base": "https://b.example/d/doc#bf"},
+    ),
+    (
+        "t0199",
+        "'../' @id resolves to the parent directory IRI",
+        {"@id": "../", EX + "p": "v"},
+        {"base": "https://b.example/d/doc"},
+    ),
+    (
+        "t0200",
+        "compact IRI with EMPTY suffix ('pre:') expands to the bare prefix IRI",
+        {
+            "@context": {"pre": EX + "ns/"},
+            "@id": EX + "x",
+            "pre:": "v",
+        },
+        {},
+    ),
+    (
+        "t0201",
+        "terms named like JSON literals ('true', '1') are ordinary terms",
+        {
+            "@context": {"true": EX + "true", "1": EX + "one"},
+            "@id": EX + "x",
+            "true": "v",
+            "1": "w",
+        },
+        {},
+    ),
+    (
+        "t0202",
+        "nested relative @base chains: each level resolves against the last",
+        {
+            "@context": {"@base": "sub/"},
+            "@id": "leaf",
+            EX + "p": {
+                "@context": {"@base": "deeper/"},
+                "@id": "tip",
+                EX + "q": "v",
+            },
+        },
+        {"base": "https://b.example/d/doc"},
+    ),
+    (
+        "t0203",
+        "@base null then a new absolute @base in one context array",
+        {
+            "@context": [{"@base": None}, {"@base": "http://new.example/root/"}],
+            "@id": "item",
+            EX + "p": "v",
+        },
+        {"base": "https://old.example/gone"},
+    ),
+    (
+        "t0204",
+        "anonymous @graph object as a property value (graph without @id)",
+        {
+            "@id": EX + "x",
+            EX + "p": {"@graph": [{"@id": EX + "n", EX + "q": "v"}]},
+        },
+        {},
+    ),
+    (
+        "t0205",
+        "index-container term with default language: entries get BOTH @index "
+        "and the default @language",
+        {
+            "@context": {
+                "@language": "en",
+                "m": {"@id": EX + "m", "@container": "@index"},
+            },
+            "@id": EX + "x",
+            "m": {"k": "txt"},
+        },
+        {},
+    ),
+    (
+        "t0206",
+        "value object written entirely via keyword aliases (@value + @type)",
+        {
+            "@context": {"v": "@value", "t": "@type"},
+            "@id": EX + "x",
+            EX + "p": {"v": 3, "t": EX + "Num"},
+        },
+        {},
+    ),
+    (
+        "t0207",
+        "scalar under aliased @graph leaves a literal null @graph entry "
+        "(reference quirk: the keyword-branch insert has no null guard, "
+        "expand.rs result.insert after the @graph match arm — the non-keyword "
+        "branch's is_null continue at expand.rs:498 does not apply)",
+        {
+            "@context": {"g": "@graph"},
+            "@id": EX + "x",
+            "g": "scalar",
+        },
+        {},
+    ),
+    (
+        "t0208",
+        "@type on the node and an explicitly typed value object coexist",
+        {
+            "@context": {"@vocab": "http://v/"},
+            "@id": EX + "x",
+            "@type": ["A", "B"],
+            "p": {"@value": "s", "@type": "http://v/T"},
+        },
+        {},
+    ),
+    (
+        "t0209",
+        "integral-valued native double stays a double through expansion",
+        {"@id": EX + "x", EX + "p": {"@value": 1.0}},
+        {},
+    ),
+]
 NEGATIVE_CASES = [
     (
         "te001",
@@ -1558,6 +2707,93 @@ NEGATIVE_CASES = [
         },
         {},
         E.INVALID_IRI_MAPPING,
+    ),
+]
+
+
+# Round-4 negative long tail: remaining reference error branches not yet
+# pinned by te001-te034 (each code verified against the reference's error
+# enum in expand.rs:14-67 / creation.rs:60-95).
+NEGATIVE_CASES += [
+    (
+        "te035",
+        "@list object under a reverse property (the other half of the "
+        "expand.rs:542-548 check; te016 pins the @value half)",
+        {
+            "@context": {"r": {"@reverse": EX + "p"}},
+            "@id": EX + "x",
+            "r": {"@list": ["a"]},
+        },
+        {},
+        E.INVALID_REVERSE_PROPERTY_VALUE,
+    ),
+    (
+        "te036",
+        "null @language in a value object (only string tags are valid)",
+        {EX + "p": {"@value": "v", "@language": None}},
+        {},
+        E.INVALID_LANGUAGE_TAGGED_STRING,
+    ),
+    (
+        "te037",
+        "term mapped to the empty string is an invalid IRI mapping",
+        {"@context": {"t": ""}, "t": "v"},
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
+    (
+        "te038",
+        "@value holding an array is an invalid value object value",
+        {EX + "p": {"@value": ["a"]}},
+        {},
+        E.INVALID_VALUE_OBJECT_VALUE,
+    ),
+    (
+        "te039",
+        "numeric @type on a node is an invalid type value",
+        {"@id": EX + "x", "@type": 7},
+        {},
+        E.INVALID_TYPE_VALUE,
+    ),
+    (
+        "te040",
+        "node object as a language-map entry is an invalid language map value",
+        {
+            "@context": {"l": {"@id": EX + "l", "@container": "@language"}},
+            "l": {"en": {"@id": EX + "n"}},
+        },
+        {},
+        E.INVALID_LANGUAGE_MAP_VALUE,
+    ),
+    (
+        "te041",
+        "a term @reverse of a keyword is an invalid IRI mapping",
+        {
+            "@context": {"r": {"@reverse": "@reverse"}},
+            "r": {"@id": EX + "y"},
+        },
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
+    (
+        "te042",
+        "array @container in a term definition (1.0 allows a single value)",
+        {
+            "@context": {"t": {"@id": EX + "t", "@container": ["@set", "@index"]}},
+            "t": "v",
+        },
+        {},
+        E.INVALID_CONTAINER_MAPPING,
+    ),
+    (
+        "te043",
+        "@reverse whose value is an array is an invalid @reverse value",
+        {
+            "@id": EX + "x",
+            "@reverse": [{EX + "p": {"@id": EX + "y"}}],
+        },
+        {},
+        E.INVALID_REVERSE_VALUE,
     ),
 ]
 
