@@ -655,6 +655,534 @@ CASES = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-4 long tail (VERDICT r3 #5): list-nesting quirks, number/lexical
+# formatting corners, generalized-RDF quirks, graph compositions, and
+# canonicalization-stressing blank structures. Outputs generated + reviewed
+# against rdf.rs/nodemap.rs branch behavior (quirks cited inline).
+# ---------------------------------------------------------------------------
+
+CASES += [
+    (
+        "t0061",
+        "explicit list nested in a list: the inner list reattaches to the "
+        "ACTIVE PROPERTY as its own chain (reference quirk, nodemap.rs:411-424 "
+        "attaches Pointer::List to the node property even when inside a list; "
+        "the outer chain keeps only the non-list members)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@list": [{"@list": ["inner"]}, "flat"]},
+        },
+    ),
+    (
+        "t0062",
+        "relative subject IRIs pass into quads unvalidated (reference quirk: "
+        "translate_reference Pointer::Id has no absoluteness check, "
+        "rdf.rs:122-150; the W3C algorithm drops non-absolute IRIs)",
+        [
+            {
+                "@context": {"@base": None},
+                "@id": "stays-relative",
+                "http://e/p": "v",
+            }
+        ],
+    ),
+    (
+        "t0063",
+        "explicit @type on a NATIVE NUMBER is ignored: the number branch "
+        "derives xsd:integer/xsd:double from the JSON type alone (reference "
+        "quirk, object_to_rdf rdf.rs:59-68 discards the passed type)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": 3, "@type": "http://www.w3.org/2001/XMLSchema#double"},
+        },
+    ),
+    (
+        "t0064",
+        "STRING values keep an explicit xsd:double datatype verbatim "
+        "(the string branch honors the passed type, unlike the number branch)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "3", "@type": "http://www.w3.org/2001/XMLSchema#double"},
+            "http://e/q": {"@value": "007", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        },
+    ),
+    (
+        "t0065",
+        "integer precision beyond 2^53 and beyond i64 survives verbatim",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [9007199254740993, 12345678901234567890123, -42],
+        },
+    ),
+    (
+        "t0066",
+        "ryu-parity double corners: -0.0, max/min normal, denormal, 1e-7",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [
+                -0.0,
+                1.7976931348623157e308,
+                2.2250738585072014e-308,
+                5e-324,
+                1e-7,
+                123456.789,
+            ],
+        },
+    ),
+    (
+        "t0067",
+        "empty @reverse entry (eager-insert expansion quirk) emits no quads",
+        {
+            "@context": {"r": {"@reverse": "http://e/p"}},
+            "@id": "http://e/x",
+            "r": [],
+            "http://e/q": "v",
+        },
+    ),
+    (
+        "t0068",
+        "a list of identical literals keeps every cons cell (no value dedup "
+        "inside lists) and canonical labels disambiguate the cells",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@list": ["x", "x", "x"]},
+        },
+    ),
+    (
+        "t0069",
+        "ten-element list: one long rdf:first/rest chain, labels stable",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@list": list("abcdefghij")},
+        },
+    ),
+    (
+        "t0070",
+        "unusual predicate/subject schemes (urn:, tel:, did:) pass through",
+        {
+            "@id": "urn:uuid:11111111-2222-3333-4444-555555555555",
+            "tel:+1-201-555-0123": "call me",
+            "did:example:123#key": {"@id": "urn:isbn:0451450523"},
+        },
+    ),
+    (
+        "t0071",
+        "unicode in subject, predicate, and literal positions stays raw",
+        {
+            "@id": "http://ex.example/súbj",
+            "http://ex.example/prädikat": "værdi — ≠ £",
+        },
+    ),
+    (
+        "t0072",
+        "DEL and bidi control characters stay raw in canonical N-Quads "
+        "(only quote, backslash, LF, CR are escaped)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "del: bidi:‮ end",
+        },
+    ),
+    (
+        "t0073",
+        "blank star: hub with three structurally identical leaves needs "
+        "n-degree hashing to split the automorphic leaves",
+        {
+            "@id": "_:hub",
+            "http://e/spoke": [
+                {"http://e/leaf": "same"},
+                {"http://e/leaf": "same"},
+                {"http://e/leaf": "same"},
+            ],
+        },
+    ),
+    (
+        "t0074",
+        "five-node blank chain gets deterministic canonical labels",
+        {
+            "http://e/next": {
+                "http://e/next": {
+                    "http://e/next": {
+                        "http://e/next": {"http://e/name": "tail"}
+                    }
+                }
+            }
+        },
+    ),
+    (
+        "t0075",
+        "two interlocking blank triangles sharing one node canonicalize",
+        {
+            "@id": "_:a",
+            "http://e/p": [
+                {"@id": "_:b", "http://e/p": {"@id": "_:shared"}},
+                {"@id": "_:shared", "http://e/p": {"@id": "_:c"}},
+                {"@id": "_:c", "http://e/p": {"@id": "_:a"}},
+            ],
+        },
+    ),
+    (
+        "t0076",
+        "isomorphic structure, different literals: labels split on content",
+        [
+            {"http://e/p": {"http://e/q": "one"}},
+            {"http://e/p": {"http://e/q": "two"}},
+        ],
+    ),
+    (
+        "t0077",
+        "graph label IRI reused as a predicate elsewhere is just an IRI",
+        {
+            "@id": "http://e/meta",
+            "@graph": [{"@id": "http://e/n", "http://e/p": "v"}],
+            "http://e/other": {"@id": "http://e/outer", "http://e/meta": "reused"},
+        },
+    ),
+    (
+        "t0078",
+        "blank-to-blank reverse edge inside a named graph stays graph-local",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "_:obj",
+                    "@reverse": {"http://e/p": {"@id": "_:subj"}},
+                }
+            ],
+        },
+    ),
+    (
+        "t0079",
+        "node with @type, named graph face, and a reverse edge all at once",
+        {
+            "@context": {"childOf": {"@reverse": "http://e/parentOf"}},
+            "@id": "http://e/g",
+            "@type": "http://e/GraphDoc",
+            "childOf": {"@id": "http://e/owner"},
+            "@graph": [{"@id": "http://e/in", "http://e/p": "v"}],
+        },
+    ),
+    (
+        "t0080",
+        "anonymous nodes nested inside a list inside a named graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/s",
+                    "http://e/l": {
+                        "@list": [
+                            {"http://e/deep": {"http://e/deeper": "v"}},
+                            "end",
+                        ]
+                    },
+                }
+            ],
+        },
+    ),
+    (
+        "t0081",
+        "default graph + IRI-labeled graph + blank-labeled graph: global "
+        "canonical sort across all three",
+        {
+            "@context": {"@base": "https://w3c.example/tests/"},
+            "@graph": [
+                {"@id": "http://e/plain", "http://e/p": "default"},
+                {
+                    "@id": "http://e/g1",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "iri graph"}],
+                },
+                {
+                    "@id": "_:bg",
+                    "@graph": [{"@id": "http://e/b", "http://e/p": "blank graph"}],
+                },
+            ],
+        },
+    ),
+    (
+        "t0082",
+        "native booleans and string-typed booleans are distinct literals",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [
+                True,
+                {"@value": "true", "@type": "http://www.w3.org/2001/XMLSchema#boolean"},
+                {"@value": "TRUE", "@type": "http://www.w3.org/2001/XMLSchema#boolean"},
+            ],
+        },
+    ),
+    (
+        "t0083",
+        "same literal under two predicates: dedup is per-property only",
+        {
+            "@id": "http://e/s",
+            "http://e/p": ["v", "v"],
+            "http://e/q": "v",
+        },
+    ),
+    (
+        "t0084",
+        "language-tagged vs plain vs typed same-lexical literals coexist",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [
+                "v",
+                {"@value": "v", "@language": "en"},
+                {"@value": "v", "@type": "http://e/T"},
+            ],
+        },
+    ),
+    (
+        "t0085",
+        "rdf:type object can be a relative-resolved IRI via coercion",
+        {
+            "@context": {"@base": "https://w3c.example/tests/"},
+            "@id": "things/1",
+            "@type": "types/Widget",
+        },
+    ),
+    (
+        "t0086",
+        "reverse term whose value is a list-FREE node with its own list prop",
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e/parentOf"},
+            },
+            "@id": "http://e/kid",
+            "childOf": {
+                "@id": "http://e/parent",
+                "http://e/steps": {"@list": [1, 2]},
+            },
+        },
+    ),
+    (
+        "t0087",
+        "graph containing ONLY blank nodes: graph-scoped canonical labels",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {"http://e/p": {"http://e/q": "anon chain in graph"}}
+            ],
+        },
+    ),
+    (
+        "t0088",
+        "blank GRAPH LABEL whose blanks also appear in the default graph",
+        {
+            "@graph": [
+                {
+                    "@id": "_:glabel",
+                    "@graph": [{"@id": "_:inner", "http://e/p": "in graph"}],
+                },
+                {"@id": "_:inner", "http://e/p": "in default"},
+                {"@id": "http://e/x", "http://e/refs": {"@id": "_:glabel"}},
+            ]
+        },
+    ),
+    (
+        "t0089",
+        "empty-string literal with a language tag",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "", "@language": "en"},
+        },
+    ),
+    (
+        "t0090",
+        "literal that lexically equals an N-Quads IRI stays quoted",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "<http://fake.example/not-an-iri>",
+        },
+    ),
+    (
+        "t0091",
+        "datatype IRI from a compact IRI in an inline context",
+        {
+            "@context": {"x": "http://types.example/ns#"},
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "2020", "@type": "x:year"},
+        },
+    ),
+    (
+        "t0092",
+        "value with @index: index invisible, value survives (list variant)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@list": [{"@value": "a", "@index": "i"}]},
+        },
+    ),
+    (
+        "t0093",
+        "two identical node refs emit two IDENTICAL quad lines (reference "
+        "quirk: the nodemap keeps duplicate refs — nodemap.rs node-ref "
+        "non-dedup — and quads are a Vec, not a set; canonical sorting "
+        "leaves both lines)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [{"@id": "http://e/o"}, {"@id": "http://e/o"}],
+        },
+    ),
+    (
+        "t0094",
+        "mixed-direction edges between two IRI nodes (forward + reverse pair)",
+        {
+            "@context": {"rev": {"@reverse": "http://e/p"}},
+            "@id": "http://e/a",
+            "http://e/p": {"@id": "http://e/b"},
+            "rev": {"@id": "http://e/b"},
+        },
+    ),
+    (
+        "t0095",
+        "typed literal whose datatype is a blank node identifier "
+        "(generalized RDF: blank datatypes pass through like blank predicates)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "v", "@type": "_:dt"},
+        },
+    ),
+    (
+        "t0096",
+        "two graphs each containing a same-labeled list: chains stay per-graph",
+        {
+            "@graph": [
+                {
+                    "@id": "http://e/g1",
+                    "@graph": [
+                        {"@id": "http://e/s", "http://e/l": {"@list": ["x"]}}
+                    ],
+                },
+                {
+                    "@id": "http://e/g2",
+                    "@graph": [
+                        {"@id": "http://e/s", "http://e/l": {"@list": ["x"]}}
+                    ],
+                },
+            ]
+        },
+    ),
+    (
+        "t0097",
+        "deep graph nesting: graph in graph in default graph",
+        {
+            "@graph": [
+                {
+                    "@id": "http://e/outer",
+                    "@graph": [
+                        {
+                            "@id": "http://e/mid",
+                            "@graph": [
+                                {"@id": "http://e/leaf", "http://e/p": "deep"}
+                            ],
+                            "http://e/meta": "mid-level",
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        "t0098",
+        "list members that are node REFERENCES to list-owning nodes",
+        {
+            "@graph": [
+                {"@id": "http://e/a", "http://e/l": {"@list": [{"@id": "http://e/b"}]}},
+                {"@id": "http://e/b", "http://e/l": {"@list": [{"@id": "http://e/a"}]}},
+            ]
+        },
+    ),
+    (
+        "t0099",
+        "xsd:double lexical survives for values that round-trip exactly "
+        "(0.5, 0.25, powers of two)",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [0.5, 0.25, 1024.0, 9.5367431640625e-07],
+        },
+    ),
+    (
+        "t0100",
+        "a node that is subject, object, graph label, AND type target",
+        {
+            "@graph": [
+                {
+                    "@id": "http://e/star",
+                    "@graph": [{"@id": "http://e/in", "http://e/p": "v"}],
+                },
+                {"@id": "http://e/star", "http://e/self": {"@id": "http://e/star"}},
+                {"@id": "http://e/other", "@type": "http://e/star"},
+            ]
+        },
+    ),
+    (
+        "t0101",
+        "reverse edge whose object is a LIST-owning blank node",
+        {
+            "@context": {"rev": {"@reverse": "http://e/owns"}},
+            "@id": "http://e/thing",
+            "rev": {"http://e/l": {"@list": ["a", "b"]}},
+        },
+    ),
+    (
+        "t0102",
+        "same blank label reused as subject, object, and list member",
+        {
+            "@graph": [
+                {"@id": "_:x", "http://e/p": {"@id": "_:x"}},
+                {"@id": "http://e/s", "http://e/l": {"@list": [{"@id": "_:x"}]}},
+            ]
+        },
+    ),
+    (
+        "t0103",
+        "four-node symmetric blank square: automorphism broken deterministically",
+        {
+            "@graph": [
+                {"@id": "_:a", "http://e/n": {"@id": "_:b"}},
+                {"@id": "_:b", "http://e/n": {"@id": "_:c"}},
+                {"@id": "_:c", "http://e/n": {"@id": "_:d"}},
+                {"@id": "_:d", "http://e/n": {"@id": "_:a"}},
+            ]
+        },
+    ),
+    (
+        "t0104",
+        "literal-valued rdf:type is NOT special: @type makes IRIs, but a "
+        "plain property named rdf:type takes literals verbatim",
+        {
+            "@id": "http://e/s",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": "literal type",
+        },
+    ),
+    (
+        "t0105",
+        "kitchen-sink composition: graph + reverse + nested list + typed and "
+        "tagged literals + blank hub, canonicalized globally",
+        {
+            "@context": {
+                "rev": {"@reverse": "http://e/rel"},
+                "steps": {"@id": "http://e/steps", "@container": "@list"},
+            },
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/core",
+                    "@type": ["http://e/T1", "http://e/T2"],
+                    "rev": {
+                        "http://e/name": {"@value": "rückwärts", "@language": "DE"},
+                        "steps": [1, 2.5, "three"],
+                    },
+                    "http://e/out": {
+                        "http://e/tag": {"@value": "x", "@type": "http://e/DT"}
+                    },
+                }
+            ],
+        },
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
