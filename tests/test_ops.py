@@ -249,17 +249,122 @@ def test_decode_stub_strict_raises():
 
 
 def test_decode_media_probe_selects_stub_here():
-    """Capability probe: no Pillow in this container → decode_media must
-    select the deterministic stub (and equal it bit-for-bit); when Pillow
-    exists the image branch takes over (exercised implicitly on real
-    deployments — the probe is the tested contract here)."""
+    """Capability probe: without Pillow decode_media must select the
+    deterministic stub (and equal it bit-for-bit). On a Pillow-equipped
+    environment the real-dimension contract is asserted instead (see
+    test_decode_media_real_branch_on_handcrafted_png)."""
     from jsonld_rs_spark.ops.multimodal import _pil_module, decode_media
 
-    assert _pil_module() is None
+    if _pil_module() is not None:
+        pytest.skip("Pillow present: real-decode branch covered by PNG test")
     for kind in ("image", "audio", "video"):
         assert decode_media(b"payload bytes", kind) == decode_stub(
             b"payload bytes", kind
         )
+
+
+def _make_png(width: int, height: int, rgb=(200, 30, 30)) -> bytes:
+    """Hand-crafted minimal valid PNG (8-bit RGB, no interlace), authored
+    with stdlib zlib only — no imaging library needed to construct it
+    (VERDICT r3 #6). Layout per the public PNG spec: signature, IHDR,
+    one IDAT of filter-0 scanlines, IEND, each chunk CRC32-stamped."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_handcrafted_png_is_wellformed():
+    """Structural self-check of the PNG author: signature, IHDR dims, chunk
+    CRCs, and a decompressible IDAT of exactly height·(1+3·width) bytes."""
+    import struct
+    import zlib
+
+    png = _make_png(5, 3)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (5, 3)
+    # walk chunks, verifying every CRC
+    off = 8
+    kinds = []
+    while off < len(png):
+        (length,) = struct.unpack(">I", png[off : off + 4])
+        typ = png[off + 4 : off + 8]
+        data = png[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(">I", png[off + 8 + length : off + 12 + length])
+        assert crc == zlib.crc32(typ + data) & 0xFFFFFFFF
+        kinds.append(typ)
+        if typ == b"IDAT":
+            assert len(zlib.decompress(data)) == 3 * (1 + 3 * 5)
+        off += 12 + length
+    assert kinds == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_decode_media_real_branch_on_handcrafted_png():
+    """The probe's TRUE branch, runnable anywhere (VERDICT r3 #6): with real
+    Pillow, decode_media must return the PNG's actual dimensions; without
+    it, a minimal PIL-shaped codec (open → context manager with
+    width/height, parsing the hand-crafted PNG's IHDR) is injected through
+    the probe seam so the Pillow code path — BytesIO, context manager,
+    attribute access, per-item fallback on an undecodable payload —
+    executes in this container too."""
+    from jsonld_rs_spark.ops import multimodal as mm
+
+    png = _make_png(7, 4)
+    if mm._pil_module() is not None:
+        # Pillow-equipped environment: the real codec must agree with IHDR
+        assert mm.decode_media(png, "image") == (7, 4, 1)
+        return
+
+    import struct
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            if data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+                raise ValueError("not a PNG")
+            w, h = struct.unpack(">II", data[16:24])
+
+            class _Im:
+                width, height = w, h
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    return False
+
+            return _Im()
+
+    orig = mm._pil_module
+    mm._pil_module = lambda: _FakeImageModule
+    try:
+        assert mm.decode_media(png, "image") == (7, 4, 1)
+        # undecodable payload under a working codec → per-item stub
+        # fallback, never a partition failure
+        junk = b"definitely not an image"
+        assert mm.decode_media(junk, "image") == decode_stub(junk, "image")
+        # non-image kinds never consult the image codec
+        assert mm.decode_media(png, "audio") == decode_stub(png, "audio")
+    finally:
+        mm._pil_module = orig
 
 
 def test_minhash_bucket_cap_prunes_degenerate_buckets(spark, docs):
