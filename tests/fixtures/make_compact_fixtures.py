@@ -996,6 +996,67 @@ NEGATIVE_CASES = [
         {},
         E.COMPACTION_TO_LIST_OF_LISTS,
     ),
+    # Round-4: the compaction CONTEXT is processed through the same context
+    # algebra as expansion — pin that each context-error class surfaces
+    # through the compact() API with its typed code (previously only the
+    # one compaction-specific error was covered).
+    (
+        "te002",
+        "keyword redefinition in the compaction context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"@id": "http://e/bad"}},
+        {},
+        E.KEYWORD_REDEFINITION,
+    ),
+    (
+        "te003",
+        "scalar compaction context is an invalid local context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        5,
+        {},
+        E.INVALID_LOCAL_CONTEXT,
+    ),
+    (
+        "te004",
+        "numeric term definition in the compaction context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"t": 7}},
+        {},
+        E.INVALID_TERM_DEFINITION,
+    ),
+    (
+        "te005",
+        "unknown @container value in the compaction context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"t": {"@id": "http://e/t", "@container": "@bogus"}}},
+        {},
+        E.INVALID_CONTAINER_MAPPING,
+    ),
+    (
+        "te006",
+        "mutually-recursive prefixes in the compaction context resolve to an "
+        "invalid IRI mapping (same guard placement as expand te006)",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"a": "b:x", "b": "a:y"}},
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
+    (
+        "te007",
+        "@reverse term with a @list container in the compaction context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"r": {"@reverse": "http://e/p", "@container": "@list"}}},
+        {},
+        E.INVALID_REVERSE_PROPERTY,
+    ),
+    (
+        "te008",
+        "non-string term @id in the compaction context",
+        [{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}],
+        {"@context": {"t": {"@id": 9}}},
+        {},
+        E.INVALID_IRI_MAPPING,
+    ),
 ]
 
 
