@@ -218,6 +218,18 @@ def literal_to_json(quad: Quad, use_native_types: bool) -> Dict[str, Any]:
     return obj
 
 
+def _json_eq_types(a: Any, b: Any) -> bool:
+    """True when two ==-equal JSON values also agree on scalar TYPES at
+    every position (serde_json semantics: Number(1) ≠ Number(1.0) ≠
+    Bool(true); Python's == says they're equal). Called only on values
+    that already compare ==, so structures are parallel."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return all(_json_eq_types(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return all(_json_eq_types(x, y) for x, y in zip(a, b))
+    return type(a) is type(b)
+
+
 def rdf_to_jsonld(
     graphs: Dataset, use_native_types: bool = False, use_rdf_type: bool = False
 ) -> Dict[str, Any]:
@@ -255,7 +267,14 @@ def rdf_to_jsonld(
             node = node_map[quad.subj]
             value = literal_to_json(quad, use_native_types)
             arr = node.setdefault(quad.pred, [])
-            existing = next((v for v in arr if v == value), None)
+            # type-sensitive equality: Python's 1 == 1.0 == True would
+            # collapse distinct literals ("1"^^xsd:integer, "1.0"^^xsd:double,
+            # "true"^^xsd:boolean all reach here as native values); the
+            # reference's serde_json keeps i64/f64/bool values distinct, so
+            # the dedup must too (found by the round-4 manifest roundtrip)
+            existing = next(
+                (v for v in arr if v == value and _json_eq_types(v, value)), None
+            )
             if existing is None:
                 arr.append(value)
                 existing = value
