@@ -82,10 +82,13 @@ def _run(fn, spark, sf_dir, trials: int = None):
     # the JVM until Python's cyclic GC happens to run; across an 11-query
     # sweep that state inflates later queries' shuffles (observed: minhash
     # 16.3 s mid-sweep vs 8.9 s fresh-session at identical quiet probes).
-    # An explicit collect lets Spark's ContextCleaner reclaim between
+    # `del df` first — a still-bound last-trial frame would survive the
+    # collect and pin its state through the NEXT query's timed window
+    # (review r4). The explicit collect lets ContextCleaner reclaim between
     # queries — measuring each query, not the sweep's debris.
     import gc
 
+    del df
     gc.collect()
     return best, n
 
@@ -207,22 +210,26 @@ def main() -> None:
     # are point-in-time while the headline queries run over minutes — a
     # quiet probe at the end cannot certify a window that was stolen in the
     # middle. Sample a cheap noise+width probe immediately BEFORE each
-    # query's best-of-N trials and once after the last, so any per-query
-    # wall drift is attributable to the host window that produced it.
+    # query's best-of-N trials and once after the last. These are sub-second
+    # BRACKETS, below the repo's >=5s trustworthy-window floor (CLAUDE.md):
+    # read them as supporting context around each query, never as a verdict
+    # on their own (_window_probe docstring).
+    from jsonld_rs_spark.pipeline import components as _components
+
     per_query = {}
     query_probes = {}
+    cc_stats = {}
     for name in HEADLINE:
         query_probes[name] = _window_probe(CPUS)
         dt, _ = _run(queries[name], spark, SF_DIR)
         per_query[name] = round(dt, 3)
+        if name == "kg_components":
+            # kg_components cost attribution (VERDICT r3 #8): snapshot the
+            # CC rounds/jobs IMMEDIATELY after its trials — corpus_filter
+            # later in the sweep also runs connected_components and would
+            # overwrite LAST_STATS (review r4), misattributing the stats.
+            cc_stats = dict(_components.LAST_STATS)
     query_probes["after_last"] = _window_probe(CPUS)
-
-    # kg_components cost attribution (VERDICT r3 #8): rounds/jobs of the
-    # last CC run inside the timed trials — a wall drift with unchanged
-    # rounds is host noise, with more rounds it's the graph/algorithm.
-    from jsonld_rs_spark.pipeline import components as _components
-
-    cc_stats = dict(_components.LAST_STATS)
     # host-noise probe: single-thread sha256 burn. ~1.2-1.6 s on a quiet
     # window of this shared-host VM; >2.5 s means neighbors are stealing CPU
     # and every wall-clock number in this line is inflated (BASELINE.md
@@ -313,6 +320,14 @@ def main() -> None:
         key = f"local[{CPUS}]"
         result["triples_per_sec_inprocess"] = result["triples_per_sec"]
         result["triples_per_sec"] = max(result["triples_per_sec"], scaling[key])
+        # estimator CHANGED in round 4 (was: in-process median, measured
+        # after the query sweep) — recorded in-line so BENCH_r* files stay
+        # self-describing across rounds
+        result["triples_per_sec_estimator"] = (
+            "max(in-process median pre-sweep, fresh-subprocess best at "
+            f"local[{CPUS}]); rounds<=3 recorded the post-sweep in-process "
+            "median"
+        )
         result["scaling_efficiency_2_8"] = round(
             (scaling["local[8]"] / scaling["local[2]"]) / 4, 3
         )

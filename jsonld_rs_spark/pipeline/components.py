@@ -97,9 +97,10 @@ def _signature(edges: DataFrame):
 
 
 # Most recent connected_components run's {'rounds': N, 'jobs': M} — bench.py
-# reads this after timing kg_components so every BENCH line attributes a
-# kg_components wall-time drift to extra CC rounds vs host noise (VERDICT r3
-# #8). Driver-side only; last completed run wins.
+# snapshots this immediately after the kg_components trials (several later
+# queries also run CC and overwrite it; last completed run wins) so every
+# BENCH line attributes a kg_components wall-time drift to extra CC rounds
+# vs host noise (VERDICT r3 #8). Driver-side only.
 LAST_STATS: dict = {}
 
 

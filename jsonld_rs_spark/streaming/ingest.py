@@ -145,11 +145,16 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        # stateless availableNow queries self-terminate, but a stalled one
-        # must fail loudly, not hang the driver gate forever (ADVICE r3) —
-        # awaitTermination(N) returns False on timeout
+        # availableNow complete-mode aggregations self-terminate when input
+        # is exhausted, but a stalled one must fail loudly, not hang the
+        # driver gate forever (ADVICE r3) — awaitTermination(N) returns
+        # False on timeout
         if not q.awaitTermination(300):
             q.stop()
+            # drop the sink view on THIS path too: a caller catching the
+            # timeout and retrying must not accumulate session-lifetime
+            # sink tables (the ADVICE r2 leak, review r4)
+            spark.catalog.dropTempView(name)
             raise TimeoutError("streaming_window_counts did not finish in 300s")
     finally:
         import shutil
@@ -212,6 +217,7 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # see streaming_window_counts: loud timeout instead of a silent hang
         if not q.awaitTermination(300):
             q.stop()
+            spark.catalog.dropTempView(name)
             raise TimeoutError("streaming_event_rollup did not finish in 300s")
     finally:
         # the returned frame reads the in-memory sink, not the staged files
