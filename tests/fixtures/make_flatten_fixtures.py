@@ -186,6 +186,204 @@ CASES = [
 ]
 
 
+# Round-4 long tail: node-map quirks (value dedup vs node-ref non-dedup),
+# merge ordering, reverse/graph/list compositions, forward references.
+EX = "http://e/"
+
+CASES += [
+    (
+        "t0017",
+        "duplicate literal values dedup during node-map merge, duplicate "
+        "node refs do NOT (reference nodemap value-dedup quirk)",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": EX + "s", "p": ["v", {"@id": EX + "o"}]},
+                {"@id": EX + "s", "p": ["v", {"@id": EX + "o"}]},
+            ],
+        },
+    ),
+    (
+        "t0018",
+        "node referenced FORWARD before its definition merges into one entry",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": EX + "a", "p": {"@id": EX + "later"}},
+                {"@id": EX + "later", "q": "defined afterwards"},
+            ],
+        },
+    ),
+    (
+        "t0019",
+        "@type arrays accumulate across merged descriptions, deduped, "
+        "in first-seen order",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": EX + "s", "@type": ["T1", "T2"]},
+                {"@id": EX + "s", "@type": ["T2", "T3"]},
+            ],
+        },
+    ),
+    (
+        "t0020",
+        "anonymous nodes in sibling positions mint _:b labels in sorted-key "
+        "document order",
+        {
+            "@context": {"@vocab": EX},
+            "@id": EX + "s",
+            "zlast": {"p": "minted second"},
+            "afirst": {"p": "minted first"},
+        },
+    ),
+    (
+        "t0021",
+        "reverse edge whose target is anonymous: the minted node carries "
+        "the forward edge",
+        {
+            "@context": {"@vocab": EX, "childOf": {"@reverse": EX + "parentOf"}},
+            "@id": EX + "kid",
+            "childOf": {"name": "anon parent"},
+        },
+    ),
+    (
+        "t0022",
+        "index map entries flatten to plain nodes keeping @index",
+        {
+            "@context": {"@vocab": EX, "m": {"@id": EX + "m", "@container": "@index"}},
+            "@id": EX + "s",
+            "m": {"k1": {"@id": EX + "n1", "p": "a"}, "k2": {"p": "b"}},
+        },
+    ),
+    (
+        "t0023",
+        "the same list under two predicates keeps two separate @list values",
+        {
+            "@context": {"@vocab": EX},
+            "@id": EX + "s",
+            "l1": {"@list": ["x", "y"]},
+            "l2": {"@list": ["x", "y"]},
+        },
+    ),
+    (
+        "t0024",
+        "nested explicit list: the inner list reattaches to the property "
+        "(same nodemap quirk the toRDF manifest pins, nodemap.rs:411-424)",
+        {
+            "@id": EX + "s",
+            EX + "p": {"@list": [{"@list": ["inner"]}, "flat"]},
+        },
+    ),
+    (
+        "t0025",
+        "graph node merging: @graph face from one description, properties "
+        "from another, one merged top-level entry",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": EX + "g", "@graph": [{"@id": EX + "in", "p": "v"}]},
+                {"@id": EX + "g", "meta": "m"},
+            ],
+        },
+    ),
+    (
+        "t0026",
+        "same blank label in default graph and inside a named graph: "
+        "document-scoped identity, graph-scoped placement",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": "_:x", "p": "default face"},
+                {
+                    "@id": EX + "g",
+                    "@graph": [{"@id": "_:x", "p": "graph face"}],
+                },
+            ],
+        },
+    ),
+    (
+        "t0027",
+        "free-floating anonymous node survives flattening with a minted id",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"p": "floater"},
+                {"@id": EX + "s", "q": "anchored"},
+            ],
+        },
+    ),
+    (
+        "t0028",
+        "@graph: [] drops during expansion — the node flattens with only "
+        "its ordinary properties, no @graph member",
+        {
+            "@context": {"@vocab": EX},
+            "@id": EX + "g",
+            "meta": "m",
+            "@graph": [],
+        },
+    ),
+    (
+        "t0029",
+        "list of node REFS to nodes that also have top-level definitions",
+        {
+            "@context": {"@vocab": EX},
+            "@graph": [
+                {"@id": EX + "s", "l": {"@list": [{"@id": EX + "a"}, {"@id": EX + "b"}]}},
+                {"@id": EX + "a", "p": "first"},
+                {"@id": EX + "b", "p": "second"},
+            ],
+        },
+    ),
+    (
+        "t0030",
+        "value-object @index is DROPPED by node-map generation (the "
+        "reference's Pointer::Value keeps only value/type/language, "
+        "nodemap.rs:98-113) so equal-valued entries then dedup to one",
+        {
+            "@id": EX + "s",
+            EX + "p": [
+                {"@value": "v", "@index": "i1"},
+                {"@value": "v", "@index": "i2"},
+                {"@value": "v", "@index": "i1"},
+            ],
+        },
+    ),
+    (
+        "t0031",
+        "triple-nested graphs: each level becomes its own top-level graph "
+        "node; inner contents never leak upward",
+        {
+            "@context": {"@vocab": EX},
+            "@id": EX + "outer",
+            "@graph": [
+                {
+                    "@id": EX + "mid",
+                    "meta": "mid",
+                    "@graph": [
+                        {"@id": EX + "leaf", "p": "deep"}
+                    ],
+                }
+            ],
+        },
+    ),
+    (
+        "t0032",
+        "language-tagged duplicates dedup only on exact (value, language)",
+        {
+            "@id": EX + "s",
+            EX + "p": [
+                {"@value": "v", "@language": "en"},
+                {"@value": "v", "@language": "de"},
+                {"@value": "v", "@language": "en"},
+                {"@value": "v"},
+            ],
+        },
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
