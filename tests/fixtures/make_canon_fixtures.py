@@ -264,6 +264,144 @@ CASES = [
             ("@default", "http://e/a", Q, "id", "_:g", None, None),
         ],
     ),
+    # Round-4 additions: denser automorphism groups and cross-graph blanks.
+    (
+        "c0022",
+        "3-cube Q3: 8 blank nodes, 48 automorphisms, 3-regular",
+        [
+            ("@default", f"_:v{a}", R, "id", f"_:v{b}", None, None)
+            # undirected cube edges, each asserted one way (i<j) — vertices
+            # are 3-bit strings, edges connect Hamming-distance-1 pairs
+            for a in range(8)
+            for b in range(8)
+            if a < b and bin(a ^ b).count("1") == 1
+        ],
+    ),
+    (
+        "c0023",
+        "complete graph K4 on blanks (every pair connected, 24 automorphisms)",
+        [
+            ("@default", f"_:k{a}", R, "id", f"_:k{b}", None, None)
+            for a in range(4)
+            for b in range(4)
+            if a != b
+        ],
+    ),
+    (
+        "c0024",
+        "two disjoint isomorphic K3s (triangle twins, inter+intra symmetry)",
+        [
+            ("@default", f"_:x{a}", R, "id", f"_:x{b}", None, None)
+            for a in range(3)
+            for b in range(3)
+            if a != b
+        ]
+        + [
+            ("@default", f"_:y{a}", R, "id", f"_:y{b}", None, None)
+            for a in range(3)
+            for b in range(3)
+            if a != b
+        ],
+    ),
+    (
+        "c0025",
+        "6-cycle with one chord: chord endpoints break rotational symmetry",
+        [
+            ("@default", f"_:c{i}", R, "id", f"_:c{(i + 1) % 6}", None, None)
+            for i in range(6)
+        ]
+        + [("@default", "_:c0", Q, "id", "_:c3", None, None)],
+    ),
+    (
+        "c0026",
+        "blank graph labels forming a cross-graph cycle (g1's label is a "
+        "subject inside g2 and vice versa)",
+        [
+            ("_:g1", "_:g2", P, "lit", "in g1", None, None),
+            ("_:g2", "_:g1", P, "lit", "in g2", None, None),
+            ("@default", "http://e/a", Q, "id", "_:g1", None, None),
+        ],
+    ),
+    (
+        "c0027",
+        "twins identical in the default graph, split only by a named-graph quad",
+        [
+            ("@default", "_:t0", P, "lit", "same", None, None),
+            ("@default", "_:t1", P, "lit", "same", None, None),
+            ("http://e/g", "_:t1", Q, "lit", "extra", None, None),
+        ],
+    ),
+    (
+        "c0028",
+        "star-of-stars: root with two structurally identical 3-leaf hubs",
+        [
+            ("@default", "_:root", P, "id", "_:h0", None, None),
+            ("@default", "_:root", P, "id", "_:h1", None, None),
+        ]
+        + [
+            ("@default", f"_:h{h}", Q, "id", f"_:l{h}{i}", None, None)
+            for h in range(2)
+            for i in range(3)
+        ]
+        + [
+            ("@default", f"_:l{h}{i}", R, "lit", "leaf", None, None)
+            for h in range(2)
+            for i in range(3)
+        ],
+    ),
+    (
+        "c0029",
+        "self-loop twin split: two nodes same payload, one with a self-loop",
+        [
+            ("@default", "_:s0", P, "lit", "n", None, None),
+            ("@default", "_:s1", P, "lit", "n", None, None),
+            ("@default", "_:s1", R, "id", "_:s1", None, None),
+        ],
+    ),
+    (
+        "c0030",
+        "3x3 grid of blanks (rook-move edges, reflective symmetries)",
+        [
+            ("@default", f"_:g{r}{c}", R, "id", f"_:g{r}{c + 1}", None, None)
+            for r in range(3)
+            for c in range(2)
+        ]
+        + [
+            ("@default", f"_:g{r}{c}", R, "id", f"_:g{r + 1}{c}", None, None)
+            for r in range(2)
+            for c in range(3)
+        ],
+    ),
+    (
+        "c0031",
+        "same blank label with different neighborhoods in two named graphs "
+        "(labels are dataset-scoped: both graphs' quads feed one hash)",
+        [
+            ("http://e/g1", "_:n", P, "lit", "one", None, None),
+            ("http://e/g2", "_:n", Q, "lit", "two", None, None),
+            ("http://e/g2", "_:m", P, "id", "_:n", None, None),
+        ],
+    ),
+    (
+        "c0032",
+        "automorphic pair split only by a literal DATATYPE (lexical equal)",
+        [
+            ("@default", "_:d0", P, "lit", "5", XSD + "integer", None),
+            ("@default", "_:d1", P, "lit", "5", XSD + "double", None),
+            ("@default", "_:d0", R, "id", "_:d1", None, None),
+            ("@default", "_:d1", R, "id", "_:d0", None, None),
+        ],
+    ),
+    (
+        "c0033",
+        "automorphic pair split only by a language TAG (value equal)",
+        [
+            ("@default", "_:d0", P, "lit", "w", LANGSTR, "en"),
+            ("@default", "_:d1", P, "lit", "w", LANGSTR, "de"),
+            ("@default", "_:d0", R, "id", "_:d1", None, None),
+            ("@default", "_:d1", R, "id", "_:d0", None, None),
+        ],
+    ),
 ]
 
 
