@@ -552,6 +552,26 @@ def corpus_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-(lang, source) sample: smallest md5(doc_id) per
+    stratum — the seeded-uniform selection step of a corpus build
+    (ops/sampling.py; one window shuffle on the stratum key)."""
+    from jsonld_rs_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents")).orderBy(
+        "lang", "source", "sample_rank"
+    )
+
+
+def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: docs packed in doc_id order within
+    each source, shard_id = floor(exclusive-prefix-tokens / budget)
+    (ops/sampling.py; one window shuffle keyed on the write partition)."""
+    from jsonld_rs_spark.ops.sampling import shard_by_token_budget
+
+    return shard_by_token_budget(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus-wide top-20 word frequencies."""
     return (
@@ -787,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "corpus_filter_docs": corpus_filter_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "token_shards_docs": token_shards_docs,
         "word_counts_top20": word_counts_top20,
         "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
@@ -1203,6 +1225,30 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN rep r USING (doc_id)
         WHERE p.doc_id = coalesce(r.representative, p.doc_id)
         ORDER BY p.doc_id
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, source, sample_rank FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5
+            ORDER BY lang, source, sample_rank
+        """,
+        "token_shards_docs": """
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / 2000.0) AS BIGINT) AS shard_id
+            FROM (
+              SELECT doc_id, source,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1
+                          AS BIGINT) AS n_tokens
+              FROM documents)
+            ORDER BY doc_id
         """,
         "word_counts_top20": """
             SELECT word, count(*) AS n

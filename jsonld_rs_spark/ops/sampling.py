@@ -1,0 +1,86 @@
+"""Corpus sampling & sharding operators (SURVEY.md §2 'training-data
+pipeline ops' — the selection/packing steps between filtering and
+training-shard materialization).
+
+Both operators are deterministic (hash- and order-based, no RNG state), so
+they are exactly reproducible across runs/engines and have bit-exact
+ANSI-SQL twins in ``__spark_entry__.oracle_sql``.
+
+Design for 100 TB:
+* ``stratified_sample``: ONE window shuffle keyed on the stratum columns;
+  the per-stratum ranking hash is md5 of the doc id (uniform on its hex
+  ordering), so the sample is "seeded uniform" without any driver-side
+  randomness. Skewed strata cost what any per-stratum top-k costs — the
+  window's sort is per-partition-key and AQE skew-eligible.
+* ``shard_by_token_budget``: packing is per-SOURCE (cumulative token sums
+  via a window partitioned by ``source``), never a global total order — a
+  corpus-wide cumsum would serialize 10^12 rows through one task. Shards
+  are therefore source-local: (source, shard_id) identifies an output file
+  group, which is also what a writer wants (partitionBy(source) + shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+DEFAULT_PER_STRATUM = 5
+DEFAULT_SHARD_TOKENS = 2_000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k_per_stratum: int = DEFAULT_PER_STRATUM,
+    strata=("lang", "source"),
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum (default
+    (lang, source)), keep the ``k_per_stratum`` documents with the smallest
+    md5(doc_id) — a seeded-uniform draw with no RNG state, reproducible on
+    any engine. Returns (doc_id, lang, source, sample_rank).
+
+    The hash ranks uniformly because md5 is uniform on hex ordering (the
+    same argument the MinHash operators rest on, ops/dedup.py); doc_id is
+    cast to string so the SQL twin hashes the identical bytes."""
+    rank_hash = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(*strata).orderBy(rank_hash, "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k_per_stratum)
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
+def shard_by_token_budget(
+    docs: DataFrame, budget_tokens: int = DEFAULT_SHARD_TOKENS
+) -> DataFrame:
+    """Assign documents to training shards of ~``budget_tokens`` whitespace
+    tokens each, packing in doc_id order WITHIN each source. Returns
+    (doc_id, source, n_tokens, shard_id) where shard_id =
+    floor(exclusive-prefix-sum(n_tokens) / budget) — the standard
+    sequential packing rule: a shard may overflow by at most one document
+    (the one that crosses the boundary), and every shard except the last
+    per source holds ≥ budget − max_doc_tokens.
+
+    Scale shape: one window shuffle keyed on ``source`` (the write
+    partition), never a corpus-global cumulative sum."""
+    toks = token_count(docs).select("doc_id", "n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(toks, "doc_id")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+        .select("doc_id", "source", "n_tokens", "shard_id")
+    )

@@ -554,6 +554,60 @@ def test_corpus_filter_keeps_representatives_only(spark, docs):
     assert kept  # non-trivial kept set on the sandbox corpus
 
 
+def test_stratified_sample_invariants(spark, docs):
+    """Deterministic k-per-stratum sample: ≤k rows per (lang, source),
+    ranks dense from 1, identical across two runs (no RNG state), and the
+    selected ids are exactly the k smallest md5 hashes per stratum."""
+    import hashlib
+
+    from jsonld_rs_spark.ops.sampling import stratified_sample
+
+    k = 3
+    rows = stratified_sample(docs, k_per_stratum=k).collect()
+    rows2 = stratified_sample(docs, k_per_stratum=k).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r)
+    universe = {}
+    for r in docs.select("doc_id", "lang", "source").collect():
+        universe.setdefault((r["lang"], r["source"]), []).append(int(r["doc_id"]))
+    for stratum, members in by_stratum.items():
+        ranks = sorted(m["sample_rank"] for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        assert len(members) == min(k, len(universe[stratum]))
+        want = sorted(
+            universe[stratum],
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )[: len(members)]
+        assert sorted(m["doc_id"] for m in members) == sorted(want)
+
+
+def test_token_shards_packing_rule(spark, docs):
+    """shard_id must equal floor(exclusive-prefix-tokens / budget) within
+    each source in doc_id order — recomputed independently in Python."""
+    from jsonld_rs_spark.ops.sampling import shard_by_token_budget
+
+    budget = 500
+    rows = shard_by_token_budget(docs, budget_tokens=budget).collect()
+    by_source = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        by_source.setdefault(r["source"], []).append(r)
+    assert sum(len(v) for v in by_source.values()) == docs.count()
+    for source, members in by_source.items():
+        running = 0
+        prev_shard = 0
+        for m in members:
+            assert m["shard_id"] == running // budget, (source, m["doc_id"])
+            # shards are contiguous and non-decreasing in pack order
+            assert prev_shard <= m["shard_id"] <= prev_shard + max(
+                1, m["n_tokens"] // budget + 1
+            )
+            prev_shard = m["shard_id"]
+            running += m["n_tokens"]
+
+
 def test_dup_clusters_invariants(spark, docs):
     """Structural invariants on the real corpus: representative is the
     component min (rep ≤ doc_id), the map is idempotent (rep of a rep is
