@@ -552,6 +552,19 @@ def corpus_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: the corpus split into a pseudo-eval
+    slice (doc_id % 11 == 0) and the training remainder; flags train docs
+    sharing ≥2 distinct word 5-grams with an eval doc
+    (ops/decontaminate.py; join keyed on the gram, hot grams capped)."""
+    from jsonld_rs_spark.ops.decontaminate import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    tr = docs.filter(F.col("doc_id") % 11 != 0)
+    return contamination_pairs(tr, ev).orderBy("train_id", "eval_id")
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-(lang, source) sample: smallest md5(doc_id) per
     stratum — the seeded-uniform selection step of a corpus build
@@ -807,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "corpus_filter_docs": corpus_filter_docs,
+        "contamination_pairs_docs": contamination_pairs_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shards_docs": token_shards_docs,
         "word_counts_top20": word_counts_top20,
@@ -1225,6 +1239,36 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN rep r USING (doc_id)
         WHERE p.doc_id = coalesce(r.representative, p.doc_id)
         ORDER BY p.doc_id
+        """,
+        # word 5-grams via the same list algebra as the shingle CTE; the
+        # df_cap > 1000 hot-gram exclusion is mirrored (it never binds at
+        # sandbox scale but the twin must apply the operator's predicate)
+        "contamination_pairs_docs": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                     )) AS gs
+              FROM words
+            ), tg AS (
+              SELECT doc_id AS train_id, unnest(gs) AS gram
+              FROM grams WHERE doc_id % 11 <> 0
+            ), eg AS (
+              SELECT doc_id AS eval_id, unnest(gs) AS gram
+              FROM grams WHERE doc_id % 11 = 0
+            ), hot AS (
+              SELECT gram FROM tg GROUP BY gram HAVING count(*) > 1000
+            )
+            SELECT train_id, eval_id,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+            FROM (SELECT * FROM tg WHERE gram NOT IN (SELECT gram FROM hot)) t
+            JOIN eg USING (gram)
+            GROUP BY train_id, eval_id
+            HAVING count(DISTINCT gram) >= 2
+            ORDER BY train_id, eval_id
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang, source, sample_rank FROM (

@@ -554,6 +554,36 @@ def test_corpus_filter_keeps_representatives_only(spark, docs):
     assert kept  # non-trivial kept set on the sandbox corpus
 
 
+def test_contamination_pairs_planted(spark, docs):
+    """A planted eval doc copying a train doc's text must be flagged; a
+    vocabulary-disjoint eval doc must not; the hot-gram cap removes
+    ubiquitous grams from evidence."""
+    from jsonld_rs_spark.ops.decontaminate import contamination_pairs
+
+    train = docs.limit(20)
+    base = train.limit(1).collect()[0]
+    eval_rows = [
+        (900001, base["text"] + " trailing extra words here", base["lang"],
+         "evalset", 0),
+        (900002, "zqx wvu tsr qpo nml kji hgf edc ba", "en", "evalset", 0),
+    ]
+    ev = spark.createDataFrame(
+        eval_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(train, ev).collect()
+    }
+    assert (int(base["doc_id"]), 900001) in got
+    assert got[(int(base["doc_id"]), 900001)] >= 2
+    assert not any(e == 900002 for _, e in got)
+
+    # df_cap=1: every gram in >1 train docs is excluded — the planted copy
+    # still matches via grams unique to its source doc
+    capped = contamination_pairs(train, ev, df_cap=1).collect()
+    assert all(r["eval_id"] == 900001 for r in capped)
+
+
 def test_stratified_sample_invariants(spark, docs):
     """Deterministic k-per-stratum sample: ≤k rows per (lang, source),
     ranks dense from 1, identical across two runs (no RNG state), and the
