@@ -291,7 +291,6 @@ def main() -> None:
         # box can actually deliver, and the N→4N pair with near-ideal
         # hardware headroom (2→8) is reported alongside 8→32.
         spark.stop()
-        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
         scaling = {}
         probes = {}
         # fresh subprocess per config (one JVM across sequential contexts

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count_col
 
 DEFAULT_PER_STRATUM = 5
 DEFAULT_SHARD_TOKENS = 2_000
@@ -65,16 +65,16 @@ def shard_by_token_budget(
     per source holds ≥ budget − max_doc_tokens.
 
     Scale shape: one window shuffle keyed on ``source`` (the write
-    partition), never a corpus-global cumulative sum."""
-    toks = token_count(docs).select("doc_id", "n_tokens")
+    partition), never a corpus-global cumulative sum. ``n_tokens`` is
+    computed as a column in the same projection (no token-table re-join —
+    the one-scan rule corpus_filter follows, VERDICT r3 #3)."""
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        docs.select("doc_id", "source")
-        .join(toks, "doc_id")
+        docs.select("doc_id", "source", token_count_col().alias("n_tokens"))
         .withColumn(
             "shard_id",
             F.floor(

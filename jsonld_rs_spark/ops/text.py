@@ -20,15 +20,19 @@ def _occurrences(col, needle: str):
     return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
 
 
+def token_count_col(text_col=None):
+    """Whitespace token count as a single Column over ``text`` — the
+    fragment operators fuse into their own projections (spaces + 1; the
+    synthetic corpus is single-space separated, so exact in both engines)."""
+    text = F.col("text") if text_col is None else text_col
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count. The synthetic corpus is single-space
-    separated, so tokens = spaces + 1 — exact in both engines."""
-    return docs.select(
-        "doc_id",
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    """Whitespace token count per document."""
+    return docs.select("doc_id", token_count_col().alias("n_tokens"))
 
 
 def _lang_guess_expr(score_cols):
@@ -47,7 +51,9 @@ def lang_guess_col(text_col=None):
     corpus_filter fuses into one projection (VERDICT r3 #3). Same algebra as
     lang_id; the marker-score subtrees are inlined (cheap columnar ops,
     CollapseProject duplication accepted as in lang_id)."""
-    padded = F.concat(F.lit(" "), text_col or F.col("text"), F.lit(" "))
+    padded = F.concat(
+        F.lit(" "), F.col("text") if text_col is None else text_col, F.lit(" ")
+    )
     scores = {
         lang: _occurrences(padded, marker).cast("long")
         for lang, marker in LANG_MARKERS.items()
@@ -75,11 +81,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def quality_col(text_col=None):
     """``quality`` (rounded to 6 decimals, in [0,1]) as a single Column over
     ``text`` — the fragment corpus_filter fuses into one projection."""
-    text = text_col or F.col("text")
+    text = F.col("text") if text_col is None else text_col
     padded = F.concat(F.lit(" "), text, F.lit(" "))
-    n_tokens = (
-        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
-    ).cast("double")
+    n_tokens = token_count_col(text).cast("double")
     stop_ratio = _occurrences(padded, STOPWORD).cast("double") / n_tokens
     length_part = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
     return F.round(length_part * 0.7 + stop_ratio * 0.3, 6)
@@ -88,13 +92,11 @@ def quality_col(text_col=None):
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / stopword-ratio quality heuristic in [0,1]."""
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    n_tokens = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
-    ).cast("double")
+    n_tokens = token_count_col().cast("double")
     stop_ratio = _occurrences(padded, STOPWORD).cast("double") / n_tokens
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
+        token_count_col().alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         quality_col().alias("quality"),
     )
