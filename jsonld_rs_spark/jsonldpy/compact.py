@@ -418,6 +418,17 @@ def _compact(
                 else:
                     result[item_active_property] = [result[item_active_property]]
 
+            if not isinstance(expanded_value, list):
+                # reachable via the @graph-null expansion quirk (a scalar
+                # under an aliased @graph leaves "@graph": null — expand
+                # fixture t0207): the reference PANICS here
+                # (compact.rs:493 as_array().unwrap()); this implementation
+                # fails TYPED so the pipeline's per-document quarantine
+                # contains the page instead of losing the task
+                raise E.CompactionError(
+                    E.INVALID_OBJECT,
+                    f"non-array expanded value under {expanded_property}",
+                )
             for expanded_item in expanded_value:
                 item_value = expanded_item if isinstance(expanded_item, dict) else None
                 item_active_property = _compact_iri(

@@ -979,6 +979,204 @@ CASES += [
         {"@context": {"名前": "http://e/名前"}},
         {},
     ),
+    # Round-4 long tail: inverse-context/CURIE corners, graph/list/reverse
+    # compositions, and quirks surfaced while probing (each reviewed
+    # against compact.rs branch behavior).
+    (
+        "t0076",
+        "an IRI equal to a prefix's full mapping does NOT compact to a bare "
+        "'pre:' CURIE — only proper-suffix candidates are generated; the "
+        "property under the same namespace still compacts",
+        {
+            "@id": "http://e/ns/",
+            "http://e/ns/p": [{"@value": "v"}],
+        },
+        {"@context": {"pre": "http://e/ns/"}},
+        {},
+    ),
+    (
+        "t0077",
+        "nested explicit lists compact recursively (the nested-list "
+        "expansion quirk's output compacts back without list-of-lists)",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [
+                {"@list": [{"@list": [{"@value": "i"}]}, {"@value": "f"}]}
+            ],
+        },
+        {"@context": {"p": "http://e/p"}},
+        {},
+    ),
+    (
+        "t0078",
+        "two @list-container terms for one IRI: deterministic selection "
+        "(shortest, then lexicographically least) picks l1",
+        {
+            "@id": "http://e/x",
+            "http://e/l": [{"@list": [{"@value": "a"}]}],
+        },
+        {
+            "@context": {
+                "l1": {"@id": "http://e/l", "@container": "@list"},
+                "l2": {"@id": "http://e/l", "@container": "@list"},
+            }
+        },
+        {},
+    ),
+    (
+        "t0079",
+        "reverse term with @container @set keeps the array under compactArrays",
+        {
+            "@id": "http://e/x",
+            "@reverse": {"http://e/p": [{"@id": "http://e/a"}]},
+        },
+        {"@context": {"r": {"@reverse": "http://e/p", "@container": "@set"}}},
+        {},
+    ),
+    (
+        "t0080",
+        "duplicate @type IRIs survive compaction (expansion does not dedup "
+        "@type; compaction maps each element)",
+        {
+            "@id": "http://e/x",
+            "@type": ["http://e/T", "http://e/T"],
+        },
+        {"@context": {"T": "http://e/T"}},
+        {},
+    ),
+    (
+        "t0081",
+        "anonymous @graph object under a property keeps its @graph face, "
+        "contents compact recursively",
+        {
+            "@id": "http://e/x",
+            "http://e/p": [
+                {"@graph": [{"@id": "http://e/n", "http://e/q": [{"@value": "v"}]}]}
+            ],
+        },
+        {"@context": {"p": "http://e/p", "q": "http://e/q"}},
+        {},
+    ),
+    (
+        "t0082",
+        "value object with @index under an index-container term becomes a "
+        "map entry keyed by that @index",
+        {
+            "@id": "http://e/x",
+            "http://e/m": [
+                {"@value": "a", "@index": "k1"},
+                {"@value": "b", "@index": "k1"},
+                {"@value": "c", "@index": "k2"},
+            ],
+        },
+        {"@context": {"m": {"@id": "http://e/m", "@container": "@index"}}},
+        {},
+    ),
+    (
+        "t0083",
+        "keyword alias for @reverse renders untermed reverse blocks",
+        {
+            "@id": "http://e/x",
+            "@reverse": {"http://e/unmapped": [{"@id": "http://e/s"}]},
+        },
+        {"@context": {"rev": "@reverse"}},
+        {},
+    ),
+    (
+        "t0084",
+        "term whose IRI is also the @vocab: vocab suffixing loses to the "
+        "exact term match",
+        {
+            "@id": "http://e/x",
+            "http://voc/name": [{"@value": "v"}],
+        },
+        {"@context": {"@vocab": "http://voc/", "fullname": "http://voc/name"}},
+        {},
+    ),
+    (
+        "t0085",
+        "named-graph node with @index keeps both faces through compaction",
+        {
+            "@id": "http://e/g",
+            "@index": "gi",
+            "@graph": [{"@id": "http://e/n", "http://e/p": [{"@value": "v"}]}],
+        },
+        {"@context": {"p": "http://e/p"}},
+        {},
+    ),
+    (
+        "t0086",
+        "reverse value node carrying its own reverse map compacts nested",
+        {
+            "@id": "http://e/leaf",
+            "@reverse": {
+                "http://e/parentOf": [
+                    {
+                        "@id": "http://e/mid",
+                        "@reverse": {
+                            "http://e/owns": [{"@id": "http://e/owner"}]
+                        },
+                    }
+                ]
+            },
+        },
+        {"@context": {"childOf": {"@reverse": "http://e/parentOf"}}},
+        {},
+    ),
+    (
+        "t0087",
+        "language map with empty-string tagged value keeps the entry",
+        {
+            "@id": "http://e/x",
+            "http://e/label": [
+                {"@value": "", "@language": "en"},
+                {"@value": "voll", "@language": "de"},
+            ],
+        },
+        {
+            "@context": {
+                "label": {"@id": "http://e/label", "@container": "@language"}
+            }
+        },
+        {},
+    ),
+    (
+        "t0088",
+        "compactArrays=false: list containers still render bare arrays "
+        "(the list itself is the value, not an array of values)",
+        {
+            "@id": "http://e/x",
+            "http://e/l": [{"@list": [{"@value": "a"}]}],
+        },
+        {"@context": {"l": {"@id": "http://e/l", "@container": "@list"}}},
+        {"compactArrays": False},
+    ),
+    (
+        "t0089",
+        "deep alternation: graph inside reverse inside index map compacts "
+        "each layer with its own machinery",
+        {
+            "@id": "http://e/root",
+            "http://e/parts": [
+                {
+                    "@id": "http://e/g1",
+                    "@index": "k1",
+                    "@reverse": {"http://e/made": [{"@id": "http://e/maker"}]},
+                    "@graph": [
+                        {"@id": "http://e/in", "http://e/p": [{"@value": "v"}]}
+                    ],
+                }
+            ],
+        },
+        {
+            "@context": {
+                "parts": {"@id": "http://e/parts", "@container": "@index"},
+                "madeBy": {"@reverse": "http://e/made"},
+                "p": "http://e/p",
+            }
+        },
+        {},
+    ),
 ]
 
 NEGATIVE_CASES = [
@@ -1056,6 +1254,16 @@ NEGATIVE_CASES = [
         {"@context": {"t": {"@id": 9}}},
         {},
         E.INVALID_IRI_MAPPING,
+    ),
+    (
+        "te009",
+        "null @graph (the aliased-@graph-scalar expansion quirk, expand "
+        "t0207) fails TYPED during compaction — the reference panics at the "
+        "same spot (compact.rs:493 as_array().unwrap())",
+        [{"@id": "http://e/x", "@graph": None}],
+        {"@context": {}},
+        {},
+        E.INVALID_OBJECT,
     ),
 ]
 
