@@ -585,6 +585,14 @@ def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_by_token_budget(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: emails then phone-shaped runs masked, with
+    per-document counts (ops/text.redact_pii; narrow column algebra)."""
+    from jsonld_rs_spark.ops.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def word_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode + aggregate: corpus-wide top-20 word frequencies."""
     return (
@@ -823,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs_docs": contamination_pairs_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shards_docs": token_shards_docs,
+        "redact_pii_docs": redact_pii_docs,
         "word_counts_top20": word_counts_top20,
         "docs_per_source_sample": docs_per_source_sample,
         "token_count_docs": token_count_docs,
@@ -1291,6 +1300,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      CAST(length(text) - length(replace(text, ' ', '')) + 1
                           AS BIGINT) AS n_tokens
+              FROM documents)
+            ORDER BY doc_id
+        """,
+        # two-step order mirrors the operator: emails masked first, phones
+        # counted on the email-redacted text ('g' = replace all, Spark's
+        # regexp_replace default)
+        "redact_pii_docs": """
+            SELECT doc_id,
+                   regexp_replace(after_email,
+                     '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g')
+                     AS redacted,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email,
+                     '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+            FROM (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS after_email
               FROM documents)
             ORDER BY doc_id
         """,

@@ -155,6 +155,37 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
 
+# PII patterns chosen for identical interpretation by Java regex (Spark)
+# and RE2 (DuckDB): plain character classes only — no lookaround, no lazy
+# quantifiers, no \d shorthand (the bpe_token_count compatibility rule)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: emails then phone-shaped digit runs replaced with
+    [EMAIL]/[PHONE] markers — the redaction pass a training-corpus build
+    runs before materialization. Returns (doc_id, redacted, n_emails,
+    n_phones).
+
+    Order matters and is part of the contract: emails are counted and
+    redacted FIRST (an address's digits must not also count as a phone);
+    phones are then counted on the email-redacted text. Pure column
+    algebra — regexp_count/regexp_replace run JVM-side, and the SQL twin
+    applies the identical two-step order."""
+    after_email = F.regexp_replace(F.col("text"), EMAIL_PATTERN, "[EMAIL]")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(after_email, PHONE_PATTERN, "[PHONE]").alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PHONE_PATTERN))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms over the whole corpus — the
     signature-terms operator an LLM-data pipeline uses for topic tagging

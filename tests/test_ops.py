@@ -554,6 +554,31 @@ def test_corpus_filter_keeps_representatives_only(spark, docs):
     assert kept  # non-trivial kept set on the sandbox corpus
 
 
+def test_redact_pii_planted(spark):
+    """Planted PII: emails and phone runs masked with counts; an email's
+    digits never double-count as a phone (emails redact first)."""
+    from jsonld_rs_spark.ops.text import redact_pii
+
+    rows = [
+        (1, "contact a.b+spam@mail.example or c@d.co today", "en", "s", 0),
+        (2, "call +1 (201) 555-0123 or 0044 20 7946 0958 now", "en", "s", 0),
+        (3, "user12345@digits.example has no phone", "en", "s", 0),
+        (4, "nothing sensitive here", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 0
+    assert "[EMAIL]" in got[1]["redacted"] and "@" not in got[1]["redacted"]
+    assert got[2]["n_phones"] == 2 and got[2]["n_emails"] == 0
+    assert "555" not in got[2]["redacted"]
+    # the digits inside the email must not be counted as a phone
+    assert got[3]["n_emails"] == 1 and got[3]["n_phones"] == 0
+    assert got[4]["redacted"] == rows[3][1]
+    assert got[4]["n_emails"] == 0 and got[4]["n_phones"] == 0
+
+
 def test_contamination_pairs_planted(spark, docs):
     """A planted eval doc copying a train doc's text must be flagged; a
     vocabulary-disjoint eval doc must not; the hot-gram cap removes
