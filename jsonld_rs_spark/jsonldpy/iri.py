@@ -29,10 +29,17 @@ from urllib.parse import urlsplit, urlunsplit
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
-# RFC 3986 appendix B component regex (scheme, authority, path, query,
-# fragment — each optional except path, which may be empty)
+# RFC 3986 appendix B component regex, with the scheme group tightened to
+# the grammar's actual `scheme` rule (ALPHA-led). Appendix B's permissive
+# `[^:/?#]+` would read '1:2' as scheme '1' — but a non-letter-led prefix
+# is not a scheme, and a relative reference like '1:2' (itself outside the
+# path-noscheme grammar) is treated as a plain path by urljoin and the url
+# crate alike; the permissive form made resolve() silently DROP the '1:'
+# (found by review r4b). has_scheme uses the same ALPHA-led rule, so the
+# two can never disagree about what counts as absolute.
 _COMPONENT_RE = re.compile(
-    r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?", re.S
+    r"^(([A-Za-z][A-Za-z0-9+.\-]*):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?",
+    re.S,
 )
 
 

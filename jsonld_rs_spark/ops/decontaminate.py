@@ -50,10 +50,26 @@ def contamination_pairs(
     the cap (exact semantics — the sandbox oracle runs with the cap ON and
     mirrors it).
     """
-    tg = train.select(
+    from ..util import spread
+
+    src = train.select("doc_id", "text")
+    try:
+        # spread a raw scan so the shingle map isn't serialized by an
+        # AQE-coalesced single partition (sandbox single-file parquet)
+        src = spread(src)
+    except ValueError:
+        # already-shuffled inputs (e.g. a limit/join upstream) carry their
+        # own partitioning, and spread's structural guard refuses to probe
+        # them (util.spread AQE rule) — use them as-is
+        pass
+    # the gram table feeds BOTH the hot-gram pre-count and the pair join:
+    # lazily checkpoint it so the expensive shingle map over the train side
+    # runs once, not once per consumer (the shingle_table rule, VERDICT r2
+    # #4 — review r4b caught this op re-deriving it twice)
+    tg = src.select(
         F.col("doc_id").alias("train_id"),
         F.explode(F.array_distinct(_shingles(k=k))).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     eg = eval_docs.select(
         F.col("doc_id").alias("eval_id"),
         F.explode(F.array_distinct(_shingles(k=k))).alias("gram"),

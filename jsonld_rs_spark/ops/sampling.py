@@ -42,14 +42,17 @@ def stratified_sample(
 
     The hash ranks uniformly because md5 is uniform on hex ordering (the
     same argument the MinHash operators rest on, ops/dedup.py); doc_id is
-    cast to string so the SQL twin hashes the identical bytes."""
+    cast to string so the SQL twin hashes the identical bytes. Output
+    columns are (doc_id, *strata, sample_rank) for whatever stratum
+    columns are passed (review r4b: the earlier hardcoded select broke
+    non-default strata)."""
     rank_hash = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy(*strata).orderBy(rank_hash, "doc_id")
     return (
-        docs.select("doc_id", "lang", "source")
+        docs.select("doc_id", *strata)
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k_per_stratum)
-        .select("doc_id", "lang", "source", "sample_rank")
+        .select("doc_id", *strata, "sample_rank")
     )
 
 

@@ -29,8 +29,10 @@ from hypothesis import strategies as st
 
 from jsonld_rs_spark.jsonldpy import iri
 
+# scheme group is ALPHA-led (the RFC `scheme` rule, not appendix B's
+# permissive form): '1:2' is a path, not scheme '1' — see iri._COMPONENT_RE
 _COMPONENT_RE = re.compile(
-    r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
+    r"^(([A-Za-z][A-Za-z0-9+.\-]*):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
 )
 
 
@@ -108,9 +110,14 @@ def rfc3986_resolve(base: str, ref: str) -> str:
     return out
 
 
-# path segments avoid ':' (a colon-bearing first segment makes the ref
-# scheme-ambiguous — JSON-LD never resolves those, expand fixture t0150)
-_SEG = st.sampled_from(["a", "b", "g.x", ".g", "..", ".", "seg;p=1", "%C3%A9", ""])
+# Letter-led colon segments are excluded (has_scheme treats them as
+# absolute — JSON-LD never resolves those, expand fixture t0150) but
+# NON-letter-led colon segments like '1:2' are in scope: they are plain
+# path segments (review r4b found the permissive appendix-B scheme group
+# silently dropping their '1:' prefix).
+_SEG = st.sampled_from(
+    ["a", "b", "g.x", ".g", "..", ".", "seg;p=1", "%C3%A9", "", "1:2", "2024:x"]
+)
 _BASES = st.sampled_from(
     [
         "https://site.example/a/b/doc",
@@ -156,3 +163,18 @@ def test_resolve_matches_rfc3986(base, ref):
     got = iri.resolve(iri.parse_base(base), ref)
     want = rfc3986_resolve(iri.parse_base(base), ref)
     assert got == want, f"base={base!r} ref={ref!r}: {got!r} != {want!r}"
+
+
+def test_digit_led_colon_segment_is_a_path():
+    """Regression (review r4b): '1:2' is not scheme '1' — the full-
+    algorithm path must keep the colon segment intact, agreeing with the
+    fast path, urljoin, and the url crate."""
+    assert (
+        iri.resolve("http://a.example/b/c?q=1", "1:2")
+        == "http://a.example/b/1:2"
+    )
+    assert iri.resolve("http://a.example/b/c", "1:2") == "http://a.example/b/1:2"
+    assert (
+        iri.resolve("http://a.example/b/c?q=1", "2024:doc#f")
+        == "http://a.example/b/2024:doc#f"
+    )
