@@ -48,6 +48,42 @@ def test_compact_positive(case):
     assert actual == _read(case["expect"]), case["name"]
 
 
+# ---------------------------------------------------------------------------
+# Meaning preservation (independent of the self-generated fixtures): each
+# positive compact case's OUTPUT, re-expanded against its own context, must
+# reproduce the input's canonical N-Quads — a compaction defect that alters
+# meaning cannot hide behind a regenerated -out fixture. Complements the
+# generative expand∘compact property in test_roundtrip_property.py with the
+# curated corner cases.
+# ---------------------------------------------------------------------------
+
+from jsonld_rs_spark.jsonldpy import (  # noqa: E402
+    DefaultNodeGenerator,
+    canonical_nquads,
+    jsonld_to_rdf,
+)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: "rt" + c["@id"])
+def test_compact_preserves_rdf_meaning(case):
+    doc = _read(case["input"])
+    context = _read(case["context"])
+    option = case.get("option", {})
+    base = option.get("base", MANIFEST["baseIri"] + case["input"])
+    compacted = compact_document(
+        doc,
+        context,
+        base=base,
+        compact_arrays=option.get("compactArrays", True),
+    )
+    # the compacted document carries its @context; re-expansion restores
+    # the expanded form whose RDF must match the input's
+    re_expanded = expand(compacted, base=base)
+    assert canonical_nquads(
+        jsonld_to_rdf(re_expanded, DefaultNodeGenerator())
+    ) == canonical_nquads(jsonld_to_rdf(doc, DefaultNodeGenerator())), case["name"]
+
+
 @pytest.mark.parametrize("case", NEGATIVE, ids=lambda c: c["@id"])
 def test_compact_negative(case):
     from jsonld_rs_spark.jsonldpy import errors as E
