@@ -402,6 +402,35 @@ CASES = [
             ("@default", "_:d1", R, "id", "_:d0", None, None),
         ],
     ),
+    (
+        "c0034",
+        "directed Petersen graph (outer C5 + inner pentagram + spokes)",
+        [
+            ("@default", a, R, "id", b, None, None)
+            for i in range(5)
+            for a, b in (
+                (f"_:v{i}", f"_:v{(i + 1) % 5}"),
+                (f"_:v{i + 5}", f"_:v{((i + 2) % 5) + 5}"),
+                (f"_:v{i}", f"_:v{i + 5}"),
+            )
+        ],
+    ),
+    (
+        "c0035",
+        "symmetric Petersen graph (both directions asserted): the full "
+        "120-automorphism group, strongest permutation-search stress in "
+        "the suite — completes well inside the default work budget",
+        [
+            ("@default", x, R, "id", y, None, None)
+            for i in range(5)
+            for a, b in (
+                (f"_:v{i}", f"_:v{(i + 1) % 5}"),
+                (f"_:v{i + 5}", f"_:v{((i + 2) % 5) + 5}"),
+                (f"_:v{i}", f"_:v{i + 5}"),
+            )
+            for x, y in ((a, b), (b, a))
+        ],
+    ),
 ]
 
 
