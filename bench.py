@@ -219,6 +219,14 @@ def main() -> None:
     per_query = {}
     query_probes = {}
     cc_stats = {}
+    # cc_stats attribution guard (ADVICE r4): LAST_STATS is last-writer-wins,
+    # so the snapshot below is only valid if kg_components runs BEFORE any
+    # other CC-running query (corpus_filter_docs). Assert the ordering here
+    # instead of trusting future HEADLINE edits to remember.
+    if "kg_components" in HEADLINE and "corpus_filter_docs" in HEADLINE:
+        assert HEADLINE.index("kg_components") < HEADLINE.index(
+            "corpus_filter_docs"
+        ), "kg_components must precede corpus_filter_docs or cc_stats misattributes"
     for name in HEADLINE:
         query_probes[name] = _window_probe(CPUS)
         dt, _ = _run(queries[name], spark, SF_DIR)
@@ -229,6 +237,12 @@ def main() -> None:
             # later in the sweep also runs connected_components and would
             # overwrite LAST_STATS (review r4), misattributing the stats.
             cc_stats = dict(_components.LAST_STATS)
+    # Sink benchmark (VERDICT r4 #6): the bucketed write + manifest +
+    # metrics path was the one pipeline stage with zero recorded wall time.
+    # Probe-bracketed like every other headline entry.
+    query_probes["kg_materialize"] = _window_probe(CPUS)
+    mat_sec, mat_rows = _bench_materialize(spark, replicate)
+    per_query["kg_materialize"] = mat_sec
     query_probes["after_last"] = _window_probe(CPUS)
     # host-noise probe: single-thread sha256 burn. ~1.2-1.6 s on a quiet
     # window of this shared-host VM; >2.5 s means neighbors are stealing CPU
@@ -263,9 +277,12 @@ def main() -> None:
         # this subtotal is (sum over the original 9 only)
         "value_legacy9": round(
             sum(v for k, v in per_query.items()
-                if k not in ("tfidf_top_terms_docs", "corpus_filter_docs")),
+                if k not in ("tfidf_top_terms_docs", "corpus_filter_docs",
+                             "kg_materialize")),
             3,
         ),
+        "materialize_rows_per_sec": round(mat_rows / max(mat_sec, 1e-9), 1),
+        "materialize_rows": mat_rows,
         "query_probes": query_probes,
         "cc_rounds": cc_stats.get("rounds"),
         "cc_jobs": cc_stats.get("jobs"),
@@ -319,6 +336,19 @@ def main() -> None:
         key = f"local[{CPUS}]"
         result["triples_per_sec_inprocess"] = result["triples_per_sec"]
         result["triples_per_sec"] = max(result["triples_per_sec"], scaling[key])
+        # estimator-divergence attestation (ADVICE r4 / VERDICT r4 #3): if
+        # the best-of estimator ever exceeds the in-process median by >1.5x,
+        # the two windows disagree badly enough that the headline should not
+        # be trusted without re-running — flag it in-line, never silently.
+        div = round(
+            result["triples_per_sec"] / max(result["triples_per_sec_inprocess"], 1e-9),
+            3,
+        )
+        result["triples_per_sec_divergence"] = div
+        if div > 1.5:
+            result["triples_per_sec_divergence_flag"] = (
+                "estimator max/median > 1.5x — contended window, re-run"
+            )
         # estimator CHANGED in round 4 (was: in-process median, measured
         # after the query sweep) — recorded in-line so BENCH_r* files stay
         # self-describing across rounds
@@ -338,6 +368,57 @@ def main() -> None:
             result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
 
     print(json.dumps(result))
+    # Tail-survivable summary (VERDICT r4 #2): BENCH_r04 recorded
+    # parsed=null because the full line outgrew the driver's fixed-size
+    # stdout tail once query_probes was added. Emit a SECOND, compact JSON
+    # line — same headline fields, no probe/attestation bloat — as the LAST
+    # stdout line so any tail window captures one parseable object. The full
+    # self-describing line above stays for humans and BASELINE.md.
+    compact_keys = (
+        "metric", "value", "unit", "queries", "sf", "cpus",
+        "triples_per_sec", "n_triples", "extract_sec",
+        "scaling", "scaling_efficiency_2_8", f"scaling_efficiency_8_{CPUS}",
+        "hardware_ceiling_8_32", "cc_rounds", "cc_jobs",
+        "triples_per_sec_divergence",
+    )
+    compact = {k: result[k] for k in compact_keys if k in result}
+    print(json.dumps(compact))
+
+
+def _bench_materialize(spark, replicate: int, trials: int = None):
+    """Best-of-N wall time of the SINK only: write_triples (bucketed parquet
+    + manifest + metrics) into a fresh temp dir per trial, os.sync() inside
+    the timed window so buffered pages are actually on disk. The triples
+    input is extracted and locally checkpointed OUTSIDE the window — this
+    measures the write path, not extraction (VERDICT r4 #6)."""
+    import shutil
+    import tempfile
+
+    from jsonld_rs_spark.pipeline.materialize import write_manifest, write_triples
+    from jsonld_rs_spark.pipeline.synth import latest_pages, synthesize_pages
+    from jsonld_rs_spark.pipeline.triples import extract_triples
+
+    pages = latest_pages(synthesize_pages(spark, SF_DIR, replicate)).cache()
+    pages.count()
+    triples = extract_triples(pages).localCheckpoint()
+    n = triples.count()
+    pages.unpersist()
+    trials = trials or int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    best = None
+    for _ in range(trials):
+        out = tempfile.mkdtemp(prefix="bench_mat_")
+        t0 = time.monotonic()
+        write_triples(triples, out)
+        write_manifest(spark, out, "bench", "bench", "complete", {"rows": n})
+        os.sync()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+        shutil.rmtree(out, ignore_errors=True)
+    del triples
+    import gc
+
+    gc.collect()
+    return round(best, 3), n
 
 
 def _throughput_subprocess(cpus: int, replicate: int):

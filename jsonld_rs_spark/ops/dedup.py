@@ -268,16 +268,31 @@ def ngram_jaccard_pairs(
     shingling is the expensive map, so it runs once and is read twice
     (VERDICT r2 #4; the signature table itself is additionally checkpointed
     inside _exploded_band_sigs, so the pre-count/pair passes don't re-read
-    the shingles either)."""
+    the shingles either).
+
+    The exact-verify join carries 60-bit md5-prefix TOKENS, not the shingle
+    strings (VERDICT r4 #4): intersect/union over distinct hash tokens is
+    the same Jaccard as over distinct shingles (a 60-bit collision inside
+    one document pair is ~2^-60 per shingle pair — negligible against the
+    threshold), and the two array payloads through the verify exchange
+    shrink from full 2-word strings to 8-byte longs. The token formula
+    (conv(md5[:15], 16, 10)) is chosen because DuckDB computes the identical
+    value via ('0x' || substr(md5(s),1,15))::BIGINT — oracle in lockstep."""
     shingled_raw = shingle_table(docs).localCheckpoint(eager=False)
-    shingled = shingled_raw.select("doc_id", F.array_distinct("sh").alias("sh"))
+    tok = F.array_distinct(
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    shingled = shingled_raw.select("doc_id", tok.alias("tok"))
     pairs = minhash_dup_pairs(docs, bands, shingled=shingled_raw)
     j = (
-        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
+        .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
     # threshold on the RAW ratio (rounding only for display) — the oracle
     # filters raw too; filtering the rounded value would flip boundary pairs
     return (

@@ -35,6 +35,19 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", token_count_col().alias("n_tokens"))
 
 
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Both token counters (whitespace + BPE-ish subword proxy) fused into
+    ONE projection over one scan — consolidated r5 from token_count +
+    bpe_token_count so the driver gate records a single row for both."""
+    return docs.select(
+        "doc_id",
+        token_count_col().alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def _lang_guess_expr(score_cols):
     """argmax over per-language score columns with deterministic first-wins
     tie-break en > de > fr > es, else 'und'. ``score_cols`` maps lang →
@@ -76,6 +89,29 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
     guess = _lang_guess_expr({lang: F.col(f"score_{lang}") for lang in LANG_MARKERS})
     return scored.withColumn("lang_guess", guess)
+
+
+def lang_quality(docs: DataFrame) -> DataFrame:
+    """Language-ID + quality scoring fused into ONE projection over one
+    scan — consolidated r5 from lang_id + quality_score (the en marker
+    ' the ' doubles as the stopword, so the stop count IS score_en). Same
+    column names as the two parents; still pure column algebra."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: _occurrences(padded, marker).cast("long")
+        for lang, marker in LANG_MARKERS.items()
+    }
+    n_tokens_d = token_count_col().cast("double")
+    stop_ratio = scores["en"].cast("double") / n_tokens_d
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        _lang_guess_expr(scores).alias("lang_guess"),
+        token_count_col().alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality_col().alias("quality"),
+    )
 
 
 def quality_col(text_col=None):
@@ -150,6 +186,35 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
     return hs.select(
         "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.array_sort(fps))).alias("fp"),
+    )
+
+
+def fingerprint_all(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Exact (md5 + head) and winnowing fingerprints in ONE scan —
+    consolidated r5 from fingerprint + winnow_fingerprint. Same column
+    names as the two parents: (doc_id, fp_md5, fp_head, n_fps, fp)."""
+    text = F.col("text")
+    grams = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    hashes = F.transform(grams, lambda i: F.md5(text.substr(i.cast("int"), F.lit(k))))
+    hs = docs.select(
+        "doc_id",
+        F.md5(F.lower(text)).alias("fp_md5"),
+        F.md5(F.substring(F.lower(text), 1, 64)).alias("fp_head"),
+        hashes.alias("hs"),
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.array_min(F.slice(F.col("hs"), s.cast("int"), w)),
+        )
+    )
+    return hs.select(
+        "doc_id",
+        "fp_md5",
+        "fp_head",
         F.size(fps).cast("long").alias("n_fps"),
         F.md5(F.concat_ws(",", F.array_sort(fps))).alias("fp"),
     )

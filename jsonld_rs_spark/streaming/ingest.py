@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 from ..pipeline.triples import extract_records
 
+# Loud-failure timeout for availableNow streaming queries (ADVICE r3: never
+# hang the driver gate; ADVICE r4: the constant must be widenable on this
+# VM's documented CPU-steal windows without editing source).
+STREAM_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
+
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
@@ -149,13 +154,15 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is exhausted, but a stalled one must fail loudly, not hang the
         # driver gate forever (ADVICE r3) — awaitTermination(N) returns
         # False on timeout
-        if not q.awaitTermination(300):
+        if not q.awaitTermination(STREAM_TIMEOUT_SEC):
             q.stop()
             # drop the sink view on THIS path too: a caller catching the
             # timeout and retrying must not accumulate session-lifetime
             # sink tables (the ADVICE r2 leak, review r4)
             spark.catalog.dropTempView(name)
-            raise TimeoutError("streaming_window_counts did not finish in 300s")
+            raise TimeoutError(
+                f"streaming_window_counts did not finish in {STREAM_TIMEOUT_SEC}s"
+            )
     finally:
         import shutil
 
@@ -215,10 +222,12 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         # see streaming_window_counts: loud timeout instead of a silent hang
-        if not q.awaitTermination(300):
+        if not q.awaitTermination(STREAM_TIMEOUT_SEC):
             q.stop()
             spark.catalog.dropTempView(name)
-            raise TimeoutError("streaming_event_rollup did not finish in 300s")
+            raise TimeoutError(
+                f"streaming_event_rollup did not finish in {STREAM_TIMEOUT_SEC}s"
+            )
     finally:
         # the returned frame reads the in-memory sink, not the staged files
         import shutil

@@ -118,7 +118,7 @@ def sessionize(events_stream: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFr
     )
 
 
-def await_drained(query, timeout_sec: float = 300.0, poll_sec: float = 0.5) -> None:
+def await_drained(query, timeout_sec: float = None, poll_sec: float = 0.5) -> None:
     """Wait until an ``availableNow`` stateful query has processed all
     available input, then stop it.
 
@@ -128,8 +128,15 @@ def await_drained(query, timeout_sec: float = 300.0, poll_sec: float = 0.5) -> N
     complete and committed as soon as a no-data batch has run, so this
     polls for (a) a progress record with zero input rows and (b) no data
     available, then stops the query. Raises on timeout — a silent partial
-    drain must not masquerade as completion."""
+    drain must not masquerade as completion. ``timeout_sec`` defaults to
+    ``SPARK_GRAFT_STREAM_TIMEOUT`` (300 s) so contended windows on this VM
+    can widen it without editing source (ADVICE r4)."""
     import time as _t
+
+    if timeout_sec is None:
+        from .ingest import STREAM_TIMEOUT_SEC
+
+        timeout_sec = float(STREAM_TIMEOUT_SEC)
 
     t0 = _t.monotonic()
     while _t.monotonic() - t0 < timeout_sec:
