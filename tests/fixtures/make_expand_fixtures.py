@@ -2798,6 +2798,1130 @@ NEGATIVE_CASES += [
 ]
 
 
+
+# ---------------------------------------------------------------------------
+# Round-5 spec-authored cases (ADVICE r4 #2): for every case below the
+# EXPECTED output is hand-derived from the JSON-LD 1.0 expansion algorithm
+# (W3C CR 2014, §8) + RFC 3986 §5 and written literally here — it is NOT
+# produced by the implementation under test. The generator ASSERTS that
+# jsonldpy reproduces each authored output and aborts on any mismatch, so
+# these fixtures are independent conformance evidence, not regression
+# locks. Manifest entries carry "provenance": "spec-authored".
+# Themes per VERDICT r4 #5: keyword-alias × container composition and
+# relative-IRI resolution corners.
+# ---------------------------------------------------------------------------
+
+_RB = "https://site.example/a/b/c"  # base for the RFC 3986 corner cases
+
+SPEC_CASES = [
+    # (id, name, input_doc, option, authored_expected)
+    # -- keyword aliases × containers ------------------------------------
+    (
+        "ts001",
+        "aliases for @id and @type in a node object",
+        {
+            "@context": {"ID": "@id", "TYPE": "@type", "name": "http://s.example/name"},
+            "ID": "http://e.example/a",
+            "TYPE": "http://e.example/T",
+            "name": "x",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "@type": ["http://e.example/T"],
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts002",
+        "aliases for @value and @language in a value object",
+        {
+            "@context": {"V": "@value", "L": "@language", "p": {"@id": "http://e.example/p"}},
+            "p": {"V": "hi", "L": "en"},
+        },
+        {},
+        [{"http://e.example/p": [{"@value": "hi", "@language": "en"}]}],
+    ),
+    (
+        "ts003",
+        "alias for @list wraps the array",
+        {
+            "@context": {"LIST": "@list", "p": {"@id": "http://e.example/p"}},
+            "p": {"LIST": ["a", "b"]},
+        },
+        {},
+        [{"http://e.example/p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "ts004",
+        "alias for @set unwraps",
+        {
+            "@context": {"SET": "@set", "p": {"@id": "http://e.example/p"}},
+            "p": {"SET": ["a"]},
+        },
+        {},
+        [{"http://e.example/p": [{"@value": "a"}]}],
+    ),
+    (
+        "ts005",
+        "alias for @index is preserved on the expanded node object",
+        {
+            "@context": {"IDX": "@index", "name": "http://s.example/name"},
+            "@id": "http://e.example/n",
+            "IDX": "i1",
+            "name": "x",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "@index": "i1",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts006",
+        "alias for @graph forms a named graph",
+        {
+            "@context": {"G": "@graph", "name": "http://s.example/name"},
+            "@id": "http://e.example/g",
+            "G": [{"@id": "http://e.example/n", "name": "x"}],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/g",
+                "@graph": [
+                    {
+                        "@id": "http://e.example/n",
+                        "http://s.example/name": [{"@value": "x"}],
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts007",
+        "alias for @reverse builds a reverse-property map",
+        {
+            "@context": {"REV": "@reverse"},
+            "@id": "http://e.example/x",
+            "REV": {"http://e.example/p": {"@id": "http://e.example/y"}},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "@reverse": {
+                    "http://e.example/p": [{"@id": "http://e.example/y"}]
+                },
+            }
+        ],
+    ),
+    (
+        "ts008",
+        "alias for @type composes with @type-coerced term values",
+        {
+            "@context": {
+                "TYPE": "@type",
+                "knows": {"@id": "http://s.example/knows", "@type": "@id"},
+            },
+            "TYPE": "http://e.example/T",
+            "knows": "http://e.example/y",
+        },
+        {},
+        [
+            {
+                "@type": ["http://e.example/T"],
+                "http://s.example/knows": [{"@id": "http://e.example/y"}],
+            }
+        ],
+    ),
+    # -- container maps ---------------------------------------------------
+    (
+        "ts010",
+        "language map iterates keys in sorted order",
+        {
+            "@context": {
+                "label": {"@id": "http://s.example/label", "@container": "@language"}
+            },
+            "@id": "http://e.example/n",
+            "label": {"en": "hi", "de": ["hallo", "servus"]},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://s.example/label": [
+                    {"@value": "hallo", "@language": "de"},
+                    {"@value": "servus", "@language": "de"},
+                    {"@value": "hi", "@language": "en"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts011",
+        "index map mixes node and string values, sorted by index key",
+        {
+            "@context": {
+                "item": {"@id": "http://s.example/item", "@container": "@index"},
+                "name": "http://s.example/name",
+            },
+            "@id": "http://e.example/n",
+            "item": {"b": "y", "a": {"name": "x"}},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://s.example/item": [
+                    {
+                        "@index": "a",
+                        "http://s.example/name": [{"@value": "x"}],
+                    },
+                    {"@value": "y", "@index": "b"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts012",
+        "index map with @type @id coercion resolves string values against base",
+        {
+            "@context": {
+                "link": {
+                    "@id": "http://s.example/link",
+                    "@type": "@id",
+                    "@container": "@index",
+                }
+            },
+            "@id": "http://e.example/n",
+            "link": {"k": "rel/target"},
+        },
+        {"base": "https://site.example/dir/page"},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://s.example/link": [
+                    {"@id": "https://site.example/dir/rel/target", "@index": "k"}
+                ],
+            }
+        ],
+    ),
+    # -- RFC 3986 relative-IRI corners (base = https://site.example/a/b/c) --
+    (
+        "ts020",
+        "empty-string @id resolves to the base itself",
+        {"@context": {"name": "http://s.example/name"}, "@id": "", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/b/c",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts021",
+        "fragment-only @id appends to base",
+        {"@context": {"name": "http://s.example/name"}, "@id": "#f", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/b/c#f",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts022",
+        "query-only @id replaces the base query",
+        {"@context": {"name": "http://s.example/name"}, "@id": "?q=2", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/b/c?q=2",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts023",
+        "single-dot segment resolves to the base directory",
+        {"@context": {"name": "http://s.example/name"}, "@id": "./d", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/b/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts024",
+        "double-dot segments climb the path",
+        {"@context": {"name": "http://s.example/name"}, "@id": "../d", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts025",
+        "dot-dot past the root clamps at the root",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "../../../../d",
+            "name": "x",
+        },
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts026",
+        "network-path reference replaces the authority",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "//other.example/z",
+            "name": "x",
+        },
+        {"base": _RB},
+        [
+            {
+                "@id": "https://other.example/z",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts027",
+        "absolute-path reference replaces the whole path",
+        {"@context": {"name": "http://s.example/name"}, "@id": "/abs", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/abs",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts028",
+        "scheme'd reference is not resolved against base",
+        {"@context": {"name": "http://s.example/name"}, "@id": "urn:x:y", "name": "x"},
+        {"base": _RB},
+        [
+            {
+                "@id": "urn:x:y",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts029",
+        "interior dot segments are removed during merge",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "d/./e/../f",
+            "name": "x",
+        },
+        {"base": _RB},
+        [
+            {
+                "@id": "https://site.example/a/b/d/f",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts030",
+        "@base in the context overrides the document base for @id",
+        {
+            "@context": {"@base": "http://alt.example/dir/", "name": "http://s.example/name"},
+            "@id": "leaf",
+            "name": "x",
+        },
+        {"base": _RB},
+        [
+            {
+                "@id": "http://alt.example/dir/leaf",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    # -- @vocab vs base asymmetry ----------------------------------------
+    (
+        "ts031",
+        "properties expand against @vocab; @id values against base",
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "node",
+            "p": {"@id": "other"},
+        },
+        {"base": "https://site.example/dir/page"},
+        [
+            {
+                "@id": "https://site.example/dir/node",
+                "http://v.example/p": [
+                    {"@id": "https://site.example/dir/other"}
+                ],
+            }
+        ],
+    ),
+    (
+        "ts032",
+        "@type values expand against @vocab, not base",
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "http://e.example/n",
+            "@type": "T",
+        },
+        {"base": _RB},
+        [{"@id": "http://e.example/n", "@type": ["http://v.example/T"]}],
+    ),
+    (
+        "ts033",
+        "compact IRI in @type expands through the prefix",
+        {
+            "@context": {"pfx": "http://p.example/ns#"},
+            "@id": "http://e.example/n",
+            "@type": "pfx:T",
+        },
+        {},
+        [{"@id": "http://e.example/n", "@type": ["http://p.example/ns#T"]}],
+    ),
+    # -- value expansion: language + type coercion ------------------------
+    (
+        "ts034",
+        "default @language applies to strings but not numbers",
+        {
+            "@context": {"@language": "en", "p": "http://e.example/p", "n": "http://e.example/n"},
+            "@id": "http://e.example/x",
+            "p": "hello",
+            "n": 5,
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/n": [{"@value": 5}],
+                "http://e.example/p": [{"@value": "hello", "@language": "en"}],
+            }
+        ],
+    ),
+    (
+        "ts035",
+        "term-scoped @language null clears the default language",
+        {
+            "@context": {
+                "@language": "en",
+                "p": {"@id": "http://e.example/p", "@language": None},
+            },
+            "@id": "http://e.example/x",
+            "p": "plain",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "plain"}],
+            }
+        ],
+    ),
+    (
+        "ts036",
+        "term-scoped @language overrides the default language",
+        {
+            "@context": {
+                "@language": "en",
+                "p": {"@id": "http://e.example/p", "@language": "fr"},
+            },
+            "@id": "http://e.example/x",
+            "p": "bonjour",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "bonjour", "@language": "fr"}],
+            }
+        ],
+    ),
+    (
+        "ts037",
+        "datatype coercion adds @type and keeps the native value",
+        {
+            "@context": {
+                "when": {
+                    "@id": "http://e.example/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#dateTime",
+                }
+            },
+            "@id": "http://e.example/x",
+            "when": "2024-01-01T00:00:00Z",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/when": [
+                    {
+                        "@value": "2024-01-01T00:00:00Z",
+                        "@type": "http://www.w3.org/2001/XMLSchema#dateTime",
+                    }
+                ],
+            }
+        ],
+    ),
+    # -- @reverse via term definition -------------------------------------
+    (
+        "ts038",
+        "term defined with @reverse collects under the @reverse map",
+        {
+            "@context": {"childOf": {"@reverse": "http://e.example/parentOf"}},
+            "@id": "http://e.example/kid",
+            "childOf": {"@id": "http://e.example/ma"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/kid",
+                "@reverse": {
+                    "http://e.example/parentOf": [{"@id": "http://e.example/ma"}]
+                },
+            }
+        ],
+    ),
+    # -- top-level @graph unwrap + drop rules -----------------------------
+    (
+        "ts039",
+        "top-level map containing only @graph unwraps to the node array",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@graph": [
+                {"@id": "http://e.example/a", "name": "x"},
+                {"@id": "http://e.example/b", "name": "y"},
+            ],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/name": [{"@value": "x"}],
+            },
+            {
+                "@id": "http://e.example/b",
+                "http://s.example/name": [{"@value": "y"}],
+            },
+        ],
+    ),
+    (
+        "ts040",
+        "null property values are dropped; an @id-only node is dropped",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/a",
+            "name": None,
+        },
+        {},
+        [],
+    ),
+    (
+        "ts041",
+        "empty-array property values expand to empty arrays (no drop rule)",
+        {
+            "@context": {"name": "http://s.example/name", "tags": "http://s.example/tags"},
+            "@id": "http://e.example/a",
+            "name": "x",
+            "tags": [],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/name": [{"@value": "x"}],
+                "http://s.example/tags": [],
+            }
+        ],
+    ),
+    (
+        "ts042",
+        "null members of a @set are dropped",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/a",
+            "p": {"@set": [None, "a", None]},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://e.example/p": [{"@value": "a"}],
+            }
+        ],
+    ),
+    (
+        "ts043",
+        "keys that map to no IRI are ignored",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/a",
+            "name": "x",
+            "unmapped": "dropped",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+]
+
+SPEC_CASES += [
+    # -- batch 2: lists, blank nodes, term/prefix machinery, drop rules --
+    (
+        "ts050",
+        "@container @list with @type @id coercion builds a list of node refs",
+        {
+            "@context": {
+                "seq": {
+                    "@id": "http://e.example/seq",
+                    "@type": "@id",
+                    "@container": "@list",
+                }
+            },
+            "@id": "http://e.example/x",
+            "seq": ["http://e.example/a", "http://e.example/b"],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/seq": [
+                    {
+                        "@list": [
+                            {"@id": "http://e.example/a"},
+                            {"@id": "http://e.example/b"},
+                        ]
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts051",
+        "@container @list wraps a single non-array value",
+        {
+            "@context": {
+                "seq": {"@id": "http://e.example/seq", "@container": "@list"}
+            },
+            "@id": "http://e.example/x",
+            "seq": "only",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/seq": [{"@list": [{"@value": "only"}]}],
+            }
+        ],
+    ),
+    (
+        "ts052",
+        "blank node identifiers pass through unresolved",
+        {
+            "@context": {"knows": {"@id": "http://s.example/knows", "@type": "@id"}},
+            "@id": "_:b1",
+            "knows": "_:b2",
+        },
+        {"base": "https://site.example/a/b/c"},
+        [{"@id": "_:b1", "http://s.example/knows": [{"@id": "_:b2"}]}],
+    ),
+    (
+        "ts053",
+        "a term aliased to @type via an expanded definition",
+        {
+            "@context": {"kind": {"@id": "@type"}},
+            "@id": "http://e.example/x",
+            "kind": "http://e.example/T",
+        },
+        {},
+        [{"@id": "http://e.example/x", "@type": ["http://e.example/T"]}],
+    ),
+    (
+        "ts054",
+        "an explicit term definition wins over @vocab",
+        {
+            "@context": {"@vocab": "http://v.example/", "p": "http://other.example/p"},
+            "@id": "http://e.example/x",
+            "p": "v",
+            "q": "w",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://other.example/p": [{"@value": "v"}],
+                "http://v.example/q": [{"@value": "w"}],
+            }
+        ],
+    ),
+    (
+        "ts055",
+        "a null term definition blocks the @vocab fallback",
+        {
+            "@context": {"@vocab": "http://v.example/", "p": None},
+            "@id": "http://e.example/x",
+            "p": "dropped",
+            "q": "kept",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://v.example/q": [{"@value": "kept"}],
+            }
+        ],
+    ),
+    (
+        "ts056",
+        "an undefined prefix that forms a valid absolute IRI is kept as-is",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "ex:foo": "v",
+            "name": "n",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "ex:foo": [{"@value": "v"}],
+                "http://s.example/name": [{"@value": "n"}],
+            }
+        ],
+    ),
+    (
+        "ts057",
+        "@id-coerced compact IRI expands through the prefix, not base",
+        {
+            "@context": {
+                "pfx": "http://p.example/ns/",
+                "link": {"@id": "http://s.example/link", "@type": "@id"},
+            },
+            "@id": "http://e.example/x",
+            "link": "pfx:leaf",
+        },
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/link": [{"@id": "http://p.example/ns/leaf"}],
+            }
+        ],
+    ),
+    (
+        "ts058",
+        "native doubles stay native in expansion",
+        {
+            "@context": {"score": "http://s.example/score"},
+            "@id": "http://e.example/x",
+            "score": 9.0,
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/score": [{"@value": 9.0}],
+            }
+        ],
+    ),
+    (
+        "ts059",
+        "an explicit typed @value object passes through",
+        {
+            "@context": {"when": "http://s.example/when"},
+            "@id": "http://e.example/x",
+            "when": {
+                "@value": "2024",
+                "@type": "http://www.w3.org/2001/XMLSchema#gYear",
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/when": [
+                    {
+                        "@value": "2024",
+                        "@type": "http://www.w3.org/2001/XMLSchema#gYear",
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts060",
+        "two terms mapping to one IRI merge values in sorted key order",
+        {
+            "@context": {
+                "name": "http://s.example/name",
+                "title": "http://s.example/name",
+            },
+            "@id": "http://e.example/x",
+            "title": "second",
+            "name": "first",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/name": [
+                    {"@value": "first"},
+                    {"@value": "second"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts061",
+        "@reverse and a forward property coexist on one node",
+        {
+            "@context": {
+                "name": "http://s.example/name",
+                "childOf": {"@reverse": "http://e.example/parentOf"},
+            },
+            "@id": "http://e.example/kid",
+            "name": "k",
+            "childOf": {"@id": "http://e.example/ma"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/kid",
+                "@reverse": {
+                    "http://e.example/parentOf": [{"@id": "http://e.example/ma"}]
+                },
+                "http://s.example/name": [{"@value": "k"}],
+            }
+        ],
+    ),
+    (
+        "ts062",
+        "a named graph node keeps its @index",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/g",
+            "@index": "gi",
+            "@graph": [{"@id": "http://e.example/n", "name": "x"}],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/g",
+                "@index": "gi",
+                "@graph": [
+                    {
+                        "@id": "http://e.example/n",
+                        "http://s.example/name": [{"@value": "x"}],
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts063",
+        "base ending in a slash keeps its directory",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "https://site.example/a/b/"},
+        [
+            {
+                "@id": "https://site.example/a/b/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts064",
+        "base with an empty path gains a root slash on merge",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "https://site.example"},
+        [
+            {
+                "@id": "https://site.example/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts065",
+        "unknown keyword-like keys are dropped",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "@notakeyword": "dropped",
+            "name": "x",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts066",
+        "property keys are never resolved document-relative",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "rel/path": "dropped",
+            "name": "x",
+        },
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts067",
+        "an @index-container term with a non-map value expands normally",
+        {
+            "@context": {
+                "item": {"@id": "http://s.example/item", "@container": "@index"}
+            },
+            "@id": "http://e.example/x",
+            "item": "plain",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/item": [{"@value": "plain"}],
+            }
+        ],
+    ),
+    (
+        "ts068",
+        "a free-floating value object is dropped",
+        {"@context": {}, "@value": "loose"},
+        {},
+        [],
+    ),
+    (
+        "ts069",
+        "a free-floating list is dropped",
+        {"@context": {}, "@list": [{"@value": "loose"}]},
+        {},
+        [],
+    ),
+    (
+        "ts070",
+        "deeply embedded nodes expand at every level",
+        {
+            "@context": {
+                "knows": "http://s.example/knows",
+                "name": "http://s.example/name",
+            },
+            "@id": "http://e.example/a",
+            "knows": {
+                "@id": "http://e.example/b",
+                "knows": {"@id": "http://e.example/c", "name": "C"},
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/knows": [
+                    {
+                        "@id": "http://e.example/b",
+                        "http://s.example/knows": [
+                            {
+                                "@id": "http://e.example/c",
+                                "http://s.example/name": [{"@value": "C"}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts071",
+        "a term definition referencing another term chains prefixes",
+        {
+            "@context": {
+                "a": "http://p.example/root/",
+                "b": "a:mid/",
+                "name": "b:leaf",
+            },
+            "@id": "http://e.example/x",
+            "name": "v",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://p.example/root/mid/leaf": [{"@value": "v"}],
+            }
+        ],
+    ),
+    (
+        "ts072",
+        "array @context merges entries left to right",
+        {
+            "@context": [
+                {"name": "http://s.example/name"},
+                {"name": "http://other.example/name"},
+            ],
+            "@id": "http://e.example/x",
+            "name": "v",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://other.example/name": [{"@value": "v"}],
+            }
+        ],
+    ),
+    (
+        "ts073",
+        "a null @context resets all terms and @vocab",
+        {
+            "@context": {"@vocab": "http://v.example/", "name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "name": "outer",
+            "http://s.example/child": {
+                "@context": None,
+                "@id": "http://e.example/y",
+                "name": "dropped-now-unmapped",
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/child": [{"@id": "http://e.example/y"}],
+                "http://s.example/name": [{"@value": "outer"}],
+            }
+        ],
+    ),
+    (
+        "ts074",
+        "an embedded context scopes only its subtree",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "name": "outer",
+            "http://s.example/child": {
+                "@context": {"name": "http://other.example/name"},
+                "@id": "http://e.example/y",
+                "name": "inner",
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/child": [
+                    {
+                        "@id": "http://e.example/y",
+                        "http://other.example/name": [{"@value": "inner"}],
+                    }
+                ],
+                "http://s.example/name": [{"@value": "outer"}],
+            }
+        ],
+    ),
+    (
+        "ts075",
+        "arrays inside a language map flatten into the value list",
+        {
+            "@context": {
+                "label": {"@id": "http://s.example/label", "@container": "@language"}
+            },
+            "@id": "http://e.example/x",
+            "label": {"en": ["one", "two"]},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/label": [
+                    {"@value": "one", "@language": "en"},
+                    {"@value": "two", "@language": "en"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts076",
+        "relative @id with both query and fragment resolves against base",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "d?q=1#f",
+            "name": "x",
+        },
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "https://site.example/a/b/d?q=1#f",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts077",
+        "the base fragment never leaks into resolved references",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "https://site.example/a/b/c#frag"},
+        [
+            {
+                "@id": "https://site.example/a/b/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts078",
+        "@value null yields no value object",
+        {
+            "@context": {"p": "http://e.example/p", "name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "p": {"@value": None},
+            "name": "x",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
@@ -2823,6 +3947,38 @@ def main() -> None:
         )
         print(f"== {tid}: {name}")
         print(json.dumps(expanded, indent=1, sort_keys=True))
+
+    for tid, name, doc, option, authored in SPEC_CASES:
+        with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        actual = expand(
+            doc,
+            base=option.get("base", BASE + f"{tid}-in.jsonld"),
+            expand_context=option.get("expandContext"),
+        )
+        if actual != authored:
+            print(f"!! SPEC MISMATCH {tid}: {name}")
+            print("-- authored expectation:")
+            print(json.dumps(authored, indent=1, sort_keys=True))
+            print("-- implementation output:")
+            print(json.dumps(actual, indent=1, sort_keys=True))
+            raise SystemExit(1)
+        # the AUTHORED value is written (not the implementation output) —
+        # byte-level provenance stays with the spec derivation
+        with open(os.path.join(HERE, f"{tid}-out.jsonld"), "w") as f:
+            json.dump(authored, f, indent=1, sort_keys=True)
+        sequence.append(
+            {
+                "@id": f"#{tid}",
+                "@type": ["jld:PositiveEvaluationTest"],
+                "name": name,
+                "input": f"{tid}-in.jsonld",
+                "expect": f"{tid}-out.jsonld",
+                "option": option,
+                "provenance": "spec-authored",
+            }
+        )
+        print(f"== {tid} (spec-authored): {name}")
 
     for tid, name, doc, option, code in NEGATIVE_CASES:
         with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
