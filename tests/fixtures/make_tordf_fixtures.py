@@ -1182,6 +1182,213 @@ CASES += [
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# Round-5 spec-authored cases (ADVICE r4 #2): the expected N-Quads below are
+# hand-derived from the JSON-LD 1.0 "Deserialize JSON-LD to RDF" algorithm,
+# RDF 1.1 N-Quads canonical form (ECHAR only for " \ LF CR; tab and
+# non-ASCII raw; lines sorted codepoint-wise), and URDNA2015 (cases use at
+# most ONE blank node so the canonical label is c14n0 by construction) —
+# and written literally here, NOT generated. The generator ASSERTS the
+# implementation reproduces each authored string and aborts on mismatch.
+# Doubles follow the documented reference quirk (ryu shortest form, e.g.
+# "4.25", not XSD E-notation) per rdf.format_double.
+# ---------------------------------------------------------------------------
+
+SPEC_CASES = [
+    # (id, name, input_doc, authored_nquads)
+    (
+        "tr001",
+        "@type emits rdf:type triples, objects sorted",
+        {
+            "@id": "http://e/s",
+            "@type": ["http://e/T2", "http://e/T1"],
+        },
+        "<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T1> .\n"
+        "<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T2> .\n",
+    ),
+    (
+        "tr002",
+        "string escaping: quote backslash newline CR escaped, tab raw",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "say \"hi\"\\\nnext\rrow\tend",
+        },
+        "<http://e/s> <http://e/p> \"say \\\"hi\\\"\\\\\\nnext\\rrow\tend\" .\n",
+    ),
+    (
+        "tr003",
+        "language tags are lowercased in emitted literals",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "salut", "@language": "FR"},
+            "http://e/q": {"@value": "gruss", "@language": "DE-Latn"},
+        },
+        "<http://e/s> <http://e/p> \"salut\"@fr .\n"
+        "<http://e/s> <http://e/q> \"gruss\"@de-latn .\n",
+    ),
+    (
+        "tr004",
+        "arbitrary datatype IRIs pass through",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "x", "@type": "http://e/DT"},
+        },
+        "<http://e/s> <http://e/p> \"x\"^^<http://e/DT> .\n",
+    ),
+    (
+        "tr005",
+        "named graph quads carry the graph IRI as fourth term",
+        {
+            "@id": "http://e/g",
+            "http://e/meta": "m",
+            "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+        "<http://e/a> <http://e/p> \"v\" <http://e/g> .\n"
+        "<http://e/g> <http://e/meta> \"m\" .\n",
+    ),
+    (
+        "tr006",
+        "a single embedded blank node labels c14n0",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"http://e/q": "v"},
+        },
+        "<http://e/s> <http://e/p> _:c14n0 .\n"
+        "_:c14n0 <http://e/q> \"v\" .\n",
+    ),
+    (
+        "tr007",
+        "a free-floating anonymous node labels c14n0 as subject",
+        {"http://e/p": "v"},
+        "_:c14n0 <http://e/p> \"v\" .\n",
+    ),
+    (
+        "tr008",
+        "@reverse inverts subject and object",
+        {
+            "@id": "http://e/kid",
+            "@reverse": {"http://e/parentOf": {"@id": "http://e/ma"}},
+        },
+        "<http://e/ma> <http://e/parentOf> <http://e/kid> .\n",
+    ),
+    (
+        "tr009",
+        "integer literals: positive, negative, zero",
+        {
+            "@id": "http://e/s",
+            "http://e/n": [42, -7, 0],
+        },
+        "<http://e/s> <http://e/n> \"-7\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+        "<http://e/s> <http://e/n> \"0\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+        "<http://e/s> <http://e/n> \"42\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n",
+    ),
+    (
+        "tr010",
+        "double literals use the ryu shortest form (reference quirk)",
+        {
+            "@id": "http://e/s",
+            "http://e/d": [2.5, -0.25],
+        },
+        "<http://e/s> <http://e/d> \"-0.25\"^^<http://www.w3.org/2001/XMLSchema#double> .\n"
+        "<http://e/s> <http://e/d> \"2.5\"^^<http://www.w3.org/2001/XMLSchema#double> .\n",
+    ),
+    (
+        "tr011",
+        "booleans emit canonical true/false",
+        {
+            "@id": "http://e/s",
+            "http://e/b": [False, True],
+        },
+        "<http://e/s> <http://e/b> \"false\"^^<http://www.w3.org/2001/XMLSchema#boolean> .\n"
+        "<http://e/s> <http://e/b> \"true\"^^<http://www.w3.org/2001/XMLSchema#boolean> .\n",
+    ),
+    (
+        "tr012",
+        "relative @id resolves against the manifest base",
+        {
+            "@id": "child",
+            "http://e/p": "v",
+        },
+        "<https://w3c.example/tests/child> <http://e/p> \"v\" .\n",
+    ),
+    (
+        "tr013",
+        "empty-string literal survives",
+        {"@id": "http://e/s", "http://e/p": ""},
+        "<http://e/s> <http://e/p> \"\" .\n",
+    ),
+    (
+        "tr014",
+        "non-ASCII literal content stays raw UTF-8",
+        {"@id": "http://e/s", "http://e/p": "héllo → welt"},
+        "<http://e/s> <http://e/p> \"héllo → welt\" .\n",
+    ),
+    (
+        "tr015",
+        "duplicate values collapse to one triple",
+        {"@id": "http://e/s", "http://e/p": ["a", "a"]},
+        "<http://e/s> <http://e/p> \"a\" .\n",
+    ),
+    (
+        "tr016",
+        "same lexical form with different types stays distinct",
+        {
+            "@id": "http://e/s",
+            "http://e/p": ["30", 30],
+        },
+        "<http://e/s> <http://e/p> \"30\" .\n"
+        "<http://e/s> <http://e/p> \"30\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n",
+    ),
+    (
+        "tr017",
+        "multiple IRI objects sort codepoint-wise",
+        {
+            "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+            "@id": "http://e/s",
+            "p": ["http://e/z", "http://e/A", "http://e/m"],
+        },
+        "<http://e/s> <http://e/p> <http://e/A> .\n"
+        "<http://e/s> <http://e/p> <http://e/m> .\n"
+        "<http://e/s> <http://e/p> <http://e/z> .\n",
+    ),
+    (
+        "tr018",
+        "language-tagged and plain forms of one string stay distinct",
+        {
+            "@id": "http://e/s",
+            "http://e/p": ["hi", {"@value": "hi", "@language": "en"}],
+        },
+        "<http://e/s> <http://e/p> \"hi\" .\n"
+        "<http://e/s> <http://e/p> \"hi\"@en .\n",
+    ),
+    (
+        "tr019",
+        "a value object with a language and a sibling typed date",
+        {
+            "@context": {"@language": "en"},
+            "@id": "http://e/s",
+            "http://e/t": "tagged",
+            "http://e/d": {
+                "@value": "2024-06-01",
+                "@type": "http://www.w3.org/2001/XMLSchema#date",
+            },
+        },
+        "<http://e/s> <http://e/d> \"2024-06-01\"^^<http://www.w3.org/2001/XMLSchema#date> .\n"
+        "<http://e/s> <http://e/t> \"tagged\"@en .\n",
+    ),
+    (
+        "tr020",
+        "default and named graph triples interleave in sorted output",
+        {
+            "@id": "http://e/g",
+            "@graph": [{"@id": "http://e/x", "http://e/p": "in-graph"}],
+            "http://e/p": "on-g",
+        },
+        "<http://e/g> <http://e/p> \"on-g\" .\n"
+        "<http://e/x> <http://e/p> \"in-graph\" <http://e/g> .\n",
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
@@ -1205,6 +1412,34 @@ def main() -> None:
         )
         print(f"== {tid}: {name}")
         print(nquads)
+
+    for tid, name, doc, authored in SPEC_CASES:
+        with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        expanded = expand(doc, base=BASE + f"{tid}-in.jsonld")
+        actual = canonical_nquads(jsonld_to_rdf(expanded, DefaultNodeGenerator()))
+        if actual != authored:
+            print(f"!! SPEC MISMATCH {tid}: {name}")
+            print("-- authored expectation:")
+            print(authored)
+            print("-- implementation output:")
+            print(actual)
+            raise SystemExit(1)
+        # the AUTHORED string is written, keeping byte-level provenance
+        with open(os.path.join(HERE, f"{tid}-out.nq"), "w") as f:
+            f.write(authored)
+        sequence.append(
+            {
+                "@id": f"#{tid}",
+                "@type": ["jld:PositiveEvaluationTest"],
+                "name": name,
+                "input": f"{tid}-in.jsonld",
+                "expect": f"{tid}-out.nq",
+                "option": {},
+                "provenance": "spec-authored",
+            }
+        )
+        print(f"== {tid} (spec-authored): {name}")
 
     with open(os.path.join(HERE, "manifest.jsonld"), "w") as f:
         json.dump({"baseIri": BASE, "sequence": sequence}, f, indent=1, sort_keys=True)
