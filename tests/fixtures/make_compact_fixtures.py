@@ -1179,6 +1179,381 @@ CASES += [
     ),
 ]
 
+
+# ---------------------------------------------------------------------------
+# Round-5 spec-authored cases (ADVICE r4 #2): authored EXPECTED compactions,
+# hand-derived from the JSON-LD 1.0 compaction + IRI/value-compaction
+# algorithms and written literally; the generator asserts the
+# implementation reproduces each one and aborts on mismatch. Manifest
+# entries carry "provenance": "spec-authored".
+# ---------------------------------------------------------------------------
+
+SPEC_CASES = [
+    # (id, name, input_doc, context_doc, option, authored_compacted)
+    (
+        "cs001",
+        "keyword aliases rename @id and @type in the output",
+        [
+            {
+                "@id": "http://e.example/x",
+                "@type": ["http://e.example/T"],
+                "http://e.example/name": [{"@value": "n"}],
+            }
+        ],
+        {
+            "@context": {
+                "id": "@id",
+                "kind": "@type",
+                "name": "http://e.example/name",
+            }
+        },
+        {},
+        {
+            "@context": {
+                "id": "@id",
+                "kind": "@type",
+                "name": "http://e.example/name",
+            },
+            "id": "http://e.example/x",
+            "kind": "http://e.example/T",
+            "name": "n",
+        },
+    ),
+    (
+        "cs002",
+        "@type @id coercion compacts a node reference to a bare string",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/knows": [{"@id": "http://e.example/y"}],
+            }
+        ],
+        {
+            "@context": {
+                "knows": {"@id": "http://e.example/knows", "@type": "@id"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "knows": {"@id": "http://e.example/knows", "@type": "@id"}
+            },
+            "@id": "http://e.example/x",
+            "knows": "http://e.example/y",
+        },
+    ),
+    (
+        "cs003",
+        "datatype-coerced values compact to bare strings",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/when": [
+                    {
+                        "@value": "2024-01-01",
+                        "@type": "http://www.w3.org/2001/XMLSchema#date",
+                    }
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "when": {
+                    "@id": "http://e.example/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            }
+        },
+        {},
+        {
+            "@context": {
+                "when": {
+                    "@id": "http://e.example/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            },
+            "@id": "http://e.example/x",
+            "when": "2024-01-01",
+        },
+    ),
+    (
+        "cs004",
+        "a language-tagged value matching the term language compacts bare",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "bonjour", "@language": "fr"}],
+            }
+        ],
+        {
+            "@context": {
+                "p": {"@id": "http://e.example/p", "@language": "fr"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "p": {"@id": "http://e.example/p", "@language": "fr"}
+            },
+            "@id": "http://e.example/x",
+            "p": "bonjour",
+        },
+    ),
+    (
+        "cs005",
+        "a language mismatch rejects the term; the full IRI keys the value",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "hallo", "@language": "de"}],
+            }
+        ],
+        {
+            "@context": {
+                "p": {"@id": "http://e.example/p", "@language": "fr"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "p": {"@id": "http://e.example/p", "@language": "fr"}
+            },
+            "@id": "http://e.example/x",
+            "http://e.example/p": {"@language": "de", "@value": "hallo"},
+        },
+    ),
+    (
+        "cs006",
+        "compactArrays false keeps singletons as arrays",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/name": [{"@value": "n"}],
+            }
+        ],
+        {"@context": {"name": "http://e.example/name"}},
+        {"compactArrays": False},
+        {
+            "@context": {"name": "http://e.example/name"},
+            "@graph": [
+                {"@id": "http://e.example/x", "name": ["n"]}
+            ],
+        },
+    ),
+    (
+        "cs007",
+        "no matching term falls back to a compact IRI",
+        [
+            {
+                "@id": "http://p.example/ns#x",
+                "http://p.example/ns#prop": [{"@value": "v"}],
+            }
+        ],
+        {"@context": {"pfx": "http://p.example/ns#"}},
+        {},
+        {
+            "@context": {"pfx": "http://p.example/ns#"},
+            "@id": "pfx:x",
+            "pfx:prop": "v",
+        },
+    ),
+    (
+        "cs008",
+        "a reverse term reabsorbs @reverse entries",
+        [
+            {
+                "@id": "http://e.example/kid",
+                "@reverse": {
+                    "http://e.example/parentOf": [{"@id": "http://e.example/ma"}]
+                },
+            }
+        ],
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e.example/parentOf", "@type": "@id"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e.example/parentOf", "@type": "@id"}
+            },
+            "@id": "http://e.example/kid",
+            "childOf": "http://e.example/ma",
+        },
+    ),
+    (
+        "cs009",
+        "an index container map is rebuilt keyed by @index",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/item": [
+                    {"@value": "one", "@index": "a"},
+                    {"@value": "two", "@index": "b"},
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "item": {"@id": "http://e.example/item", "@container": "@index"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "item": {"@id": "http://e.example/item", "@container": "@index"}
+            },
+            "@id": "http://e.example/x",
+            "item": {"a": "one", "b": "two"},
+        },
+    ),
+    (
+        "cs010",
+        "multiple top-level nodes compact under @graph",
+        [
+            {"@id": "http://e.example/a", "http://e.example/name": [{"@value": "x"}]},
+            {"@id": "http://e.example/b", "http://e.example/name": [{"@value": "y"}]},
+        ],
+        {"@context": {"name": "http://e.example/name"}},
+        {},
+        {
+            "@context": {"name": "http://e.example/name"},
+            "@graph": [
+                {"@id": "http://e.example/a", "name": "x"},
+                {"@id": "http://e.example/b", "name": "y"},
+            ],
+        },
+    ),
+    (
+        "cs011",
+        "an untyped value rejects the coercing term and compacts bare on the IRI",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/when": [{"@value": "soon"}],
+            }
+        ],
+        {
+            "@context": {
+                "when": {
+                    "@id": "http://e.example/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            }
+        },
+        {},
+        {
+            "@context": {
+                "when": {
+                    "@id": "http://e.example/when",
+                    "@type": "http://www.w3.org/2001/XMLSchema#date",
+                }
+            },
+            "@id": "http://e.example/x",
+            "http://e.example/when": "soon",
+        },
+    ),
+    (
+        "cs012",
+        "a term with @container @set keeps its array",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/tag": [{"@value": "one"}],
+            }
+        ],
+        {
+            "@context": {
+                "tag": {"@id": "http://e.example/tag", "@container": "@set"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "tag": {"@id": "http://e.example/tag", "@container": "@set"}
+            },
+            "@id": "http://e.example/x",
+            "tag": ["one"],
+        },
+    ),
+    (
+        "cs013",
+        "vocab-relative @type compaction through @vocab",
+        [
+            {
+                "@id": "http://v.example/x",
+                "@type": ["http://v.example/T"],
+            }
+        ],
+        {"@context": {"@vocab": "http://v.example/"}},
+        {},
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "http://v.example/x",
+            "@type": "T",
+        },
+    ),
+    (
+        "cs014",
+        "two @type values stay an array and both compact",
+        [
+            {
+                "@id": "http://v.example/x",
+                "@type": ["http://v.example/T1", "http://v.example/T2"],
+            }
+        ],
+        {"@context": {"@vocab": "http://v.example/"}},
+        {},
+        {
+            "@context": {"@vocab": "http://v.example/"},
+            "@id": "http://v.example/x",
+            "@type": ["T1", "T2"],
+        },
+    ),
+    (
+        "cs015",
+        "empty context leaves everything expanded (minus array unwrap)",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/name": [{"@value": "n"}],
+            }
+        ],
+        {"@context": {}},
+        {},
+        {
+            "@id": "http://e.example/x",
+            "http://e.example/name": "n",
+        },
+    ),
+    (
+        "cs016",
+        "a list object compacts onto a @list-container term",
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/seq": [
+                    {"@list": [{"@value": "a"}, {"@value": "b"}]}
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "seq": {"@id": "http://e.example/seq", "@container": "@list"}
+            }
+        },
+        {},
+        {
+            "@context": {
+                "seq": {"@id": "http://e.example/seq", "@container": "@list"}
+            },
+            "@id": "http://e.example/x",
+            "seq": ["a", "b"],
+        },
+    ),
+]
+
 NEGATIVE_CASES = [
     (
         "te001",
@@ -1297,6 +1672,40 @@ def main() -> None:
         )
         print(f"== {tid}: {name}")
         print(json.dumps(actual, indent=1, sort_keys=True))
+
+    for tid, name, in_doc, context_doc, option, authored in SPEC_CASES:
+        with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
+            json.dump(in_doc, f, indent=1, sort_keys=True)
+        with open(os.path.join(HERE, f"{tid}-context.jsonld"), "w") as f:
+            json.dump(context_doc, f, indent=1, sort_keys=True)
+        actual = compact_document(
+            in_doc,
+            context_doc,
+            base=BASE + f"{tid}-in.jsonld",
+            compact_arrays=option.get("compactArrays", True),
+        )
+        if actual != authored:
+            print(f"!! SPEC MISMATCH {tid}: {name}")
+            print("-- authored expectation:")
+            print(json.dumps(authored, indent=1, sort_keys=True))
+            print("-- implementation output:")
+            print(json.dumps(actual, indent=1, sort_keys=True))
+            raise SystemExit(1)
+        with open(os.path.join(HERE, f"{tid}-out.jsonld"), "w") as f:
+            json.dump(authored, f, indent=1, sort_keys=True)
+        sequence.append(
+            {
+                "@id": f"#{tid}",
+                "@type": ["jld:PositiveEvaluationTest"],
+                "name": name,
+                "input": f"{tid}-in.jsonld",
+                "context": f"{tid}-context.jsonld",
+                "expect": f"{tid}-out.jsonld",
+                "option": option,
+                "provenance": "spec-authored",
+            }
+        )
+        print(f"== {tid} (spec-authored): {name}")
 
     for tid, name, expanded_doc, context_doc, option, code in NEGATIVE_CASES:
         with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
