@@ -3921,6 +3921,407 @@ SPEC_CASES += [
     ),
 ]
 
+SPEC_CASES += [
+    # -- batch 3: value/list objects with @index, language normalization,
+    #    expandContext, @reverse map ordering, deeper RFC 3986 corners ----
+    (
+        "ts080",
+        "language tags are lowercased during value expansion",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@value": "x", "@language": "EN-US"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "x", "@language": "en-us"}],
+            }
+        ],
+    ),
+    (
+        "ts081",
+        "a default @language is lowercased when applied",
+        {
+            "@context": {"@language": "DE", "p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": "hallo",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "hallo", "@language": "de"}],
+            }
+        ],
+    ),
+    (
+        "ts082",
+        "a value object keeps its @index",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@value": "v", "@index": "i"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "v", "@index": "i"}],
+            }
+        ],
+    ),
+    (
+        "ts083",
+        "a list object keeps its @index",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@list": ["a"], "@index": "i"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [
+                    {"@list": [{"@value": "a"}], "@index": "i"}
+                ],
+            }
+        ],
+    ),
+    (
+        "ts084",
+        "expandContext applies without an inline @context",
+        {"@id": "http://e.example/x", "name": "v"},
+        {"expandContext": {"name": "http://s.example/name"}},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/name": [{"@value": "v"}],
+            }
+        ],
+    ),
+    (
+        "ts085",
+        "a term with a null @id in an expanded definition is ignored",
+        {
+            "@context": {"@vocab": "http://v.example/", "p": {"@id": None}},
+            "@id": "http://e.example/x",
+            "p": "dropped",
+            "q": "kept",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://v.example/q": [{"@value": "kept"}],
+            }
+        ],
+    ),
+    (
+        "ts086",
+        "@container @set changes nothing in expansion",
+        {
+            "@context": {
+                "tag": {"@id": "http://e.example/tag", "@container": "@set"}
+            },
+            "@id": "http://e.example/x",
+            "tag": "one",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/tag": [{"@value": "one"}],
+            }
+        ],
+    ),
+    (
+        "ts087",
+        "nested @set objects inside an array flatten",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": [{"@set": ["a"]}, "b"],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": "a"}, {"@value": "b"}],
+            }
+        ],
+    ),
+    (
+        "ts088",
+        "a named graph appears as a property value",
+        {
+            "@context": {"holds": "http://e.example/holds", "name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "holds": {
+                "@id": "http://e.example/g",
+                "@graph": [{"@id": "http://e.example/n", "name": "v"}],
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/holds": [
+                    {
+                        "@id": "http://e.example/g",
+                        "@graph": [
+                            {
+                                "@id": "http://e.example/n",
+                                "http://s.example/name": [{"@value": "v"}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts089",
+        "two reverse terms collect under one @reverse map",
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e.example/parentOf"},
+                "ownedBy": {"@reverse": "http://e.example/owns"},
+            },
+            "@id": "http://e.example/kid",
+            "childOf": {"@id": "http://e.example/ma"},
+            "ownedBy": {"@id": "http://e.example/estate"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/kid",
+                "@reverse": {
+                    "http://e.example/owns": [{"@id": "http://e.example/estate"}],
+                    "http://e.example/parentOf": [{"@id": "http://e.example/ma"}],
+                },
+            }
+        ],
+    ),
+    (
+        "ts090",
+        "a blank-node @type passes through",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "@type": "_:t",
+            "name": "v",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "@type": ["_:t"],
+                "http://s.example/name": [{"@value": "v"}],
+            }
+        ],
+    ),
+    (
+        "ts091",
+        "native 5.0 stays a double-valued native",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": 5.0,
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": 5.0}],
+            }
+        ],
+    ),
+    # -- RFC 3986: authority forms ----------------------------------------
+    (
+        "ts092",
+        "an explicit port survives relative resolution",
+        {"@context": {"name": "http://s.example/name"}, "@id": "../d", "name": "x"},
+        {"base": "https://site.example:8443/a/b/c"},
+        [
+            {
+                "@id": "https://site.example:8443/a/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts093",
+        "userinfo in the base authority is preserved",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "https://user@site.example/a/b"},
+        [
+            {
+                "@id": "https://user@site.example/a/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts094",
+        "an IPv6 authority is preserved through resolution",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "http://[2001:db8::1]/a/b"},
+        [
+            {
+                "@id": "http://[2001:db8::1]/a/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts095",
+        "percent-encoded segments pass through untouched",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "seg%20ment",
+            "name": "x",
+        },
+        {"base": "https://site.example/a/b"},
+        [
+            {
+                "@id": "https://site.example/a/seg%20ment",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts096",
+        "a lone dot resolves to the base directory",
+        {"@context": {"name": "http://s.example/name"}, "@id": ".", "name": "x"},
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "https://site.example/a/b/",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts097",
+        "a lone dot-dot resolves to the parent directory",
+        {"@context": {"name": "http://s.example/name"}, "@id": "..", "name": "x"},
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "https://site.example/a/",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts098",
+        "an empty fragment is kept distinct from no fragment",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d#", "name": "x"},
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "https://site.example/a/b/d#",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts099",
+        "an empty query is kept distinct from no query",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d?", "name": "x"},
+        {"base": "https://site.example/a/b/c"},
+        [
+            {
+                "@id": "https://site.example/a/b/d?",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts100",
+        "the base query does not leak into sibling references",
+        {"@context": {"name": "http://s.example/name"}, "@id": "d", "name": "x"},
+        {"base": "https://site.example/a/b/c?base=query"},
+        [
+            {
+                "@id": "https://site.example/a/b/d",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts101",
+        "@type arrays expand every member",
+        {
+            "@context": {"@vocab": "http://v.example/", "pfx": "http://p.example/ns#"},
+            "@id": "http://e.example/x",
+            "@type": ["T1", "pfx:T2", "http://a.example/T3"],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "@type": [
+                    "http://v.example/T1",
+                    "http://p.example/ns#T2",
+                    "http://a.example/T3",
+                ],
+            }
+        ],
+    ),
+    (
+        "ts102",
+        "an @id-coerced term applied to a keyword-like string keeps it verbatim",
+        {
+            "@context": {
+                "link": {"@id": "http://s.example/link", "@type": "@id"}
+            },
+            "@id": "http://e.example/x",
+            "link": "urn:uuid:00000000-0000-0000-0000-000000000000",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/link": [
+                    {"@id": "urn:uuid:00000000-0000-0000-0000-000000000000"}
+                ],
+            }
+        ],
+    ),
+    (
+        "ts103",
+        "properties of an inner list-item node expand fully",
+        {
+            "@context": {
+                "seq": {"@id": "http://e.example/seq", "@container": "@list"},
+                "name": "http://s.example/name",
+            },
+            "@id": "http://e.example/x",
+            "seq": [{"@id": "http://e.example/n", "name": "inner"}],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/seq": [
+                    {
+                        "@list": [
+                            {
+                                "@id": "http://e.example/n",
+                                "http://s.example/name": [{"@value": "inner"}],
+                            }
+                        ]
+                    }
+                ],
+            }
+        ],
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
