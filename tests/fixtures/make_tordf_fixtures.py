@@ -1389,6 +1389,162 @@ SPEC_CASES = [
     ),
 ]
 
+SPEC_CASES += [
+    # -- batch 2: single-blank list chains, graph corners, more literals --
+    (
+        "tr021",
+        "a one-item @list is a single blank cons cell ending in rdf:nil",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@list": ["a"]},
+        },
+        "<http://e/s> <http://e/p> _:c14n0 .\n"
+        "_:c14n0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> \"a\" .\n"
+        "_:c14n0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n",
+    ),
+    (
+        "tr022",
+        "one embedded blank node referenced by two predicates keeps one label",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@id": "_:n", "http://e/q": "v"},
+            "http://e/r": {"@id": "_:n"},
+        },
+        "<http://e/s> <http://e/p> _:c14n0 .\n"
+        "<http://e/s> <http://e/r> _:c14n0 .\n"
+        "_:c14n0 <http://e/q> \"v\" .\n",
+    ),
+    (
+        "tr023",
+        "a blank graph label canonicalizes to c14n0 in the fourth term",
+        {
+            "@id": "_:g",
+            "@graph": [{"@id": "http://e/a", "http://e/p": "v"}],
+        },
+        "<http://e/a> <http://e/p> \"v\" _:c14n0 .\n",
+    ),
+    (
+        "tr024",
+        "rdf:type triples land in their named graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [{"@id": "http://e/a", "@type": "http://e/T"}],
+        },
+        "<http://e/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> <http://e/g> .\n",
+    ),
+    (
+        "tr025",
+        "integers beyond 32 bits keep exact lexical form",
+        {"@id": "http://e/s", "http://e/n": 2147483648},
+        "<http://e/s> <http://e/n> \"2147483648\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n",
+    ),
+    (
+        "tr026",
+        "doubles with integral value keep ryu decimal form",
+        {"@id": "http://e/s", "http://e/d": [100.0, 0.5]},
+        "<http://e/s> <http://e/d> \"0.5\"^^<http://www.w3.org/2001/XMLSchema#double> .\n"
+        "<http://e/s> <http://e/d> \"100.0\"^^<http://www.w3.org/2001/XMLSchema#double> .\n",
+    ),
+    (
+        "tr027",
+        "non-ASCII IRIs are emitted raw",
+        {"@id": "http://e/café", "http://e/p": "v"},
+        "<http://e/café> <http://e/p> \"v\" .\n",
+    ),
+    (
+        "tr028",
+        "script and region subtags lowercase together",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "x", "@language": "zh-Hant-TW"},
+        },
+        "<http://e/s> <http://e/p> \"x\"@zh-hant-tw .\n",
+    ),
+    (
+        "tr029",
+        "one subject asserted in two named graphs yields two quads",
+        {
+            "@context": {},
+            "@graph": [
+                {
+                    "@id": "http://e/g1",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "v1"}],
+                },
+                {
+                    "@id": "http://e/g2",
+                    "@graph": [{"@id": "http://e/a", "http://e/p": "v2"}],
+                },
+            ],
+        },
+        "<http://e/a> <http://e/p> \"v1\" <http://e/g1> .\n"
+        "<http://e/a> <http://e/p> \"v2\" <http://e/g2> .\n",
+    ),
+    (
+        "tr030",
+        "@index never reaches the RDF output",
+        {
+            "@id": "http://e/s",
+            "@index": "node-idx",
+            "http://e/p": {"@value": "v", "@index": "val-idx"},
+        },
+        "<http://e/s> <http://e/p> \"v\" .\n",
+    ),
+    (
+        "tr031",
+        "@reverse inside a named graph inverts within that graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/kid",
+                    "@reverse": {"http://e/parentOf": {"@id": "http://e/ma"}},
+                }
+            ],
+        },
+        "<http://e/ma> <http://e/parentOf> <http://e/kid> <http://e/g> .\n",
+    ),
+    (
+        "tr032",
+        "a coerced string keeps its lexical form under xsd:integer",
+        {
+            "@context": {
+                "n": {
+                    "@id": "http://e/n",
+                    "@type": "http://www.w3.org/2001/XMLSchema#integer",
+                }
+            },
+            "@id": "http://e/s",
+            "n": "0042",
+        },
+        "<http://e/s> <http://e/n> \"0042\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n",
+    ),
+    (
+        "tr033",
+        "an empty @graph contributes no quads beyond the node's own triples",
+        {
+            "@id": "http://e/g",
+            "@graph": [],
+            "http://e/p": "v",
+        },
+        "<http://e/g> <http://e/p> \"v\" .\n",
+    ),
+    (
+        "tr034",
+        "whitespace inside literals is preserved exactly",
+        {"@id": "http://e/s", "http://e/p": "  padded  value  "},
+        "<http://e/s> <http://e/p> \"  padded  value  \" .\n",
+    ),
+    (
+        "tr035",
+        "a relative @id resolves before quad emission",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@id": "child"},
+        },
+        "<http://e/s> <http://e/p> <https://w3c.example/tests/child> .\n",
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
