@@ -383,6 +383,178 @@ CASES += [
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# Round-5 spec-authored cases (ADVICE r4 #2): expected flattenings derived
+# by hand from the JSON-LD 1.0 flattening/node-map algorithm (node map
+# built with sorted-key iteration, output nodes sorted by @id — '_' sorts
+# before 'h' so blank labels lead; @id-only nodes are skipped) and written
+# literally; the generator asserts the implementation reproduces them.
+# ---------------------------------------------------------------------------
+
+SPEC_CASES = [
+    # (id, name, input_doc, authored_flattened)
+    (
+        "fs001",
+        "two-level nesting hoists with forward references, sorted by @id",
+        {
+            "@context": {"p": "http://e/p", "q": "http://e/q"},
+            "@id": "http://e/b",
+            "p": {"@id": "http://e/a", "q": "leaf"},
+        },
+        [
+            {"@id": "http://e/a", "http://e/q": [{"@value": "leaf"}]},
+            {"@id": "http://e/b", "http://e/p": [{"@id": "http://e/a"}]},
+        ],
+    ),
+    (
+        "fs002",
+        "duplicate descriptions of one node merge",
+        {
+            "@context": {"p": "http://e/p", "q": "http://e/q"},
+            "@graph": [
+                {"@id": "http://e/a", "p": "1"},
+                {"@id": "http://e/a", "q": "2"},
+            ],
+        },
+        [
+            {
+                "@id": "http://e/a",
+                "http://e/p": [{"@value": "1"}],
+                "http://e/q": [{"@value": "2"}],
+            }
+        ],
+    ),
+    (
+        "fs003",
+        "a referenced node with no properties is skipped in the output",
+        {
+            "@context": {"p": "http://e/p"},
+            "@id": "http://e/a",
+            "p": {"@id": "http://e/only-referenced"},
+        },
+        [
+            {
+                "@id": "http://e/a",
+                "http://e/p": [{"@id": "http://e/only-referenced"}],
+            }
+        ],
+    ),
+    (
+        "fs004",
+        "list values stay intact inside the flattened node",
+        {
+            "@context": {"seq": {"@id": "http://e/seq", "@container": "@list"}},
+            "@id": "http://e/a",
+            "seq": ["x", "y"],
+        },
+        [
+            {
+                "@id": "http://e/a",
+                "http://e/seq": [
+                    {"@list": [{"@value": "x"}, {"@value": "y"}]}
+                ],
+            }
+        ],
+    ),
+    (
+        "fs005",
+        "one anonymous embedded node mints _:b0 and sorts first",
+        {
+            "@context": {"p": "http://e/p", "q": "http://e/q"},
+            "@id": "http://e/a",
+            "p": {"q": "inner"},
+        },
+        [
+            {"@id": "_:b0", "http://e/q": [{"@value": "inner"}]},
+            {"@id": "http://e/a", "http://e/p": [{"@id": "_:b0"}]},
+        ],
+    ),
+    (
+        "fs006",
+        "@type values accumulate deduped across merged descriptions",
+        {
+            "@context": {},
+            "@graph": [
+                {"@id": "http://e/a", "@type": "http://e/T1"},
+                {"@id": "http://e/a", "@type": ["http://e/T1", "http://e/T2"]},
+            ],
+        },
+        [
+            {"@id": "http://e/a", "@type": ["http://e/T1", "http://e/T2"]}
+        ],
+    ),
+    (
+        "fs007",
+        "identical values dedup on merge",
+        {
+            "@context": {"p": "http://e/p"},
+            "@graph": [
+                {"@id": "http://e/a", "p": "same"},
+                {"@id": "http://e/a", "p": "same"},
+            ],
+        },
+        [
+            {"@id": "http://e/a", "http://e/p": [{"@value": "same"}]}
+        ],
+    ),
+    (
+        "fs008",
+        "named-graph contents nest under the label node's @graph, sorted",
+        {
+            "@context": {"p": "http://e/p", "meta": "http://e/meta"},
+            "@id": "http://e/g",
+            "meta": "m",
+            "@graph": [
+                {"@id": "http://e/z", "p": "2"},
+                {"@id": "http://e/y", "p": "1"},
+            ],
+        },
+        [
+            {
+                "@graph": [
+                    {"@id": "http://e/y", "http://e/p": [{"@value": "1"}]},
+                    {"@id": "http://e/z", "http://e/p": [{"@value": "2"}]},
+                ],
+                "@id": "http://e/g",
+                "http://e/meta": [{"@value": "m"}],
+            }
+        ],
+    ),
+    (
+        "fs009",
+        "@reverse flattens to a forward property on the object node",
+        {
+            "@context": {"childOf": {"@reverse": "http://e/parentOf"}},
+            "@id": "http://e/kid",
+            "childOf": {"@id": "http://e/ma", "http://e/name": "M"},
+        },
+        [
+            {
+                "@id": "http://e/ma",
+                "http://e/name": [{"@value": "M"}],
+                "http://e/parentOf": [{"@id": "http://e/kid"}],
+            },
+        ],
+    ),
+    (
+        "fs010",
+        "two anonymous siblings mint labels in input order",
+        {
+            "@context": {"p": "http://e/p", "x": "http://e/x", "y": "http://e/y"},
+            "@id": "http://e/a",
+            "p": [{"x": "first"}, {"y": "second"}],
+        },
+        [
+            {"@id": "_:b0", "http://e/x": [{"@value": "first"}]},
+            {"@id": "_:b1", "http://e/y": [{"@value": "second"}]},
+            {
+                "@id": "http://e/a",
+                "http://e/p": [{"@id": "_:b0"}, {"@id": "_:b1"}],
+            },
+        ],
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
@@ -405,6 +577,32 @@ def main() -> None:
         )
         print(f"== {tid}: {name}")
         print(json.dumps(flat, indent=1, sort_keys=True))
+
+    for tid, name, doc, authored in SPEC_CASES:
+        with open(os.path.join(HERE, f"{tid}-in.jsonld"), "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        actual = flatten(expand(doc, base=BASE + f"{tid}-in.jsonld"))
+        if actual != authored:
+            print(f"!! SPEC MISMATCH {tid}: {name}")
+            print("-- authored expectation:")
+            print(json.dumps(authored, indent=1, sort_keys=True))
+            print("-- implementation output:")
+            print(json.dumps(actual, indent=1, sort_keys=True))
+            raise SystemExit(1)
+        with open(os.path.join(HERE, f"{tid}-out.jsonld"), "w") as f:
+            json.dump(authored, f, indent=1, sort_keys=True)
+        sequence.append(
+            {
+                "@id": f"#{tid}",
+                "@type": ["jld:PositiveEvaluationTest"],
+                "name": name,
+                "input": f"{tid}-in.jsonld",
+                "expect": f"{tid}-out.jsonld",
+                "option": {},
+                "provenance": "spec-authored",
+            }
+        )
+        print(f"== {tid} (spec-authored): {name}")
 
     with open(os.path.join(HERE, "manifest.jsonld"), "w") as f:
         json.dump({"baseIri": BASE, "sequence": sequence}, f, indent=1, sort_keys=True)
