@@ -4322,6 +4322,260 @@ SPEC_CASES += [
     ),
 ]
 
+SPEC_CASES += [
+    # -- batch 4: falsy values, prefix corners, nested @reverse, arrays --
+    (
+        "ts110",
+        "false boolean @value survives falsy-value handling",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@value": False},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": False}],
+            }
+        ],
+    ),
+    (
+        "ts111",
+        "zero @value survives falsy-value handling",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@value": 0},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": 0}],
+            }
+        ],
+    ),
+    (
+        "ts112",
+        "empty-string @value survives falsy-value handling",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": {"@value": ""},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [{"@value": ""}],
+            }
+        ],
+    ),
+    (
+        "ts113",
+        "a colon key with an undefined prefix but valid scheme stays verbatim",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/x",
+            "has:colon/path": "v",
+            "name": "n",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "has:colon/path": [{"@value": "v"}],
+                "http://s.example/name": [{"@value": "n"}],
+            }
+        ],
+    ),
+    (
+        "ts114",
+        "@reverse nested inside a reversed node expands recursively",
+        {
+            "@context": {},
+            "@id": "http://e.example/x",
+            "@reverse": {
+                "http://e.example/p": {
+                    "@id": "http://e.example/y",
+                    "@reverse": {
+                        "http://e.example/q": {"@id": "http://e.example/z"}
+                    },
+                }
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "@reverse": {
+                    "http://e.example/p": [
+                        {
+                            "@id": "http://e.example/y",
+                            "@reverse": {
+                                "http://e.example/q": [
+                                    {"@id": "http://e.example/z"}
+                                ]
+                            },
+                        }
+                    ]
+                },
+            }
+        ],
+    ),
+    (
+        "ts115",
+        "a top-level array expands each element in order",
+        [
+            {
+                "@context": {"name": "http://s.example/name"},
+                "@id": "http://e.example/b",
+                "name": "B",
+            },
+            {
+                "@context": {"name": "http://s.example/name"},
+                "@id": "http://e.example/a",
+                "name": "A",
+            },
+        ],
+        {},
+        [
+            {
+                "@id": "http://e.example/b",
+                "http://s.example/name": [{"@value": "B"}],
+            },
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/name": [{"@value": "A"}],
+            },
+        ],
+    ),
+    (
+        "ts116",
+        "top-level scalars in an array are dropped",
+        [
+            "loose string",
+            {
+                "@context": {"name": "http://s.example/name"},
+                "@id": "http://e.example/a",
+                "name": "A",
+            },
+        ],
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://s.example/name": [{"@value": "A"}],
+            }
+        ],
+    ),
+    (
+        "ts117",
+        "index-map values preserve in-key array order",
+        {
+            "@context": {
+                "item": {"@id": "http://s.example/item", "@container": "@index"}
+            },
+            "@id": "http://e.example/x",
+            "item": {"k": ["second", "first-stays-first"]},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/item": [
+                    {"@value": "second", "@index": "k"},
+                    {"@value": "first-stays-first", "@index": "k"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts118",
+        "a language map with a single string value per key",
+        {
+            "@context": {
+                "label": {"@id": "http://s.example/label", "@container": "@language"}
+            },
+            "@id": "http://e.example/x",
+            "label": {"fr": "chat"},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://s.example/label": [{"@value": "chat", "@language": "fr"}],
+            }
+        ],
+    ),
+    (
+        "ts119",
+        "@type on a value object coexists with sibling untyped values",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/x",
+            "p": [
+                {"@value": "5", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+                "plain",
+            ],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/x",
+                "http://e.example/p": [
+                    {
+                        "@value": "5",
+                        "@type": "http://www.w3.org/2001/XMLSchema#integer",
+                    },
+                    {"@value": "plain"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts120",
+        "a node with @id and @type only keeps both",
+        {
+            "@context": {},
+            "@id": "http://e.example/x",
+            "@type": "http://e.example/T",
+        },
+        {},
+        [{"@id": "http://e.example/x", "@type": ["http://e.example/T"]}],
+    ),
+    (
+        "ts121",
+        "a nested node under a reverse term hangs its own children forward",
+        {
+            "@context": {
+                "childOf": {"@reverse": "http://e.example/parentOf"},
+                "name": "http://s.example/name",
+            },
+            "@id": "http://e.example/kid",
+            "childOf": {
+                "@id": "http://e.example/ma",
+                "name": "M",
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/kid",
+                "@reverse": {
+                    "http://e.example/parentOf": [
+                        {
+                            "@id": "http://e.example/ma",
+                            "http://s.example/name": [{"@value": "M"}],
+                        }
+                    ]
+                },
+            }
+        ],
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)

@@ -1545,6 +1545,136 @@ SPEC_CASES += [
     ),
 ]
 
+SPEC_CASES += [
+    # -- batch 3: graph-scoped literals, blank objects, distinctness -----
+    (
+        "tr036",
+        "a language-tagged literal inside a named graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/a",
+                    "http://e/p": {"@value": "hallo", "@language": "de"},
+                }
+            ],
+            "http://e/meta": "m",
+        },
+        "<http://e/a> <http://e/p> \"hallo\"@de <http://e/g> .\n"
+        "<http://e/g> <http://e/meta> \"m\" .\n",
+    ),
+    (
+        "tr037",
+        "a typed literal inside a named graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {
+                    "@id": "http://e/a",
+                    "http://e/p": {
+                        "@value": "2024-06-01",
+                        "@type": "http://www.w3.org/2001/XMLSchema#date",
+                    },
+                }
+            ],
+            "http://e/meta": "m",
+        },
+        "<http://e/a> <http://e/p> \"2024-06-01\"^^<http://www.w3.org/2001/XMLSchema#date> <http://e/g> .\n"
+        "<http://e/g> <http://e/meta> \"m\" .\n",
+    ),
+    (
+        "tr038",
+        "a blank-node @type becomes a type triple with a blank object",
+        {
+            "@id": "http://e/s",
+            "@type": "_:t",
+        },
+        "<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> _:c14n0 .\n",
+    ),
+    (
+        "tr039",
+        "@reverse onto a blank subject inverts into a blank object",
+        {
+            "@id": "_:x",
+            "@reverse": {"http://e/p": {"@id": "http://e/ma"}},
+        },
+        "<http://e/ma> <http://e/p> _:c14n0 .\n",
+    ),
+    (
+        "tr040",
+        "a coerced string keeps its lexical form under xsd:double",
+        {
+            "@context": {
+                "d": {
+                    "@id": "http://e/d",
+                    "@type": "http://www.w3.org/2001/XMLSchema#double",
+                }
+            },
+            "@id": "http://e/s",
+            "d": "2.50",
+        },
+        "<http://e/s> <http://e/d> \"2.50\"^^<http://www.w3.org/2001/XMLSchema#double> .\n",
+    ),
+    (
+        "tr041",
+        "a one-item list inside a named graph keeps its cons cell in-graph",
+        {
+            "@id": "http://e/g",
+            "@graph": [
+                {"@id": "http://e/s", "http://e/p": {"@list": ["a"]}}
+            ],
+            "http://e/meta": "m",
+        },
+        "<http://e/g> <http://e/meta> \"m\" .\n"
+        "<http://e/s> <http://e/p> _:c14n0 <http://e/g> .\n"
+        "_:c14n0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> \"a\" <http://e/g> .\n"
+        "_:c14n0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> <http://e/g> .\n",
+    ),
+    (
+        "tr042",
+        "one string under two language tags stays two literals",
+        {
+            "@id": "http://e/s",
+            "http://e/p": [
+                {"@value": "pain", "@language": "fr"},
+                {"@value": "pain", "@language": "en"},
+            ],
+        },
+        "<http://e/s> <http://e/p> \"pain\"@en .\n"
+        "<http://e/s> <http://e/p> \"pain\"@fr .\n",
+    ),
+    (
+        "tr043",
+        "one literal under two predicates emits two triples",
+        {
+            "@id": "http://e/s",
+            "http://e/p": "shared",
+            "http://e/q": "shared",
+        },
+        "<http://e/s> <http://e/p> \"shared\" .\n"
+        "<http://e/s> <http://e/q> \"shared\" .\n",
+    ),
+    (
+        "tr044",
+        "an empty language-tagged string survives",
+        {
+            "@id": "http://e/s",
+            "http://e/p": {"@value": "", "@language": "en"},
+        },
+        "<http://e/s> <http://e/p> \"\"@en .\n",
+    ),
+    (
+        "tr045",
+        "an IRI-looking string literal stays quoted, unlike a node reference",
+        {
+            "@id": "http://e/s",
+            "http://e/p": ["http://e/y", {"@id": "http://e/y"}],
+        },
+        "<http://e/s> <http://e/p> \"http://e/y\" .\n"
+        "<http://e/s> <http://e/p> <http://e/y> .\n",
+    ),
+]
+
 
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)

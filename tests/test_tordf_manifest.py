@@ -59,6 +59,7 @@ ROUNDTRIP_LOSSY = {
     # (d) useNativeTypes is lossy on non-canonical lexical forms
     "#t0064": "'007'/'3' lexicals normalize through native types",
     "#t0082": "'TRUE' lexical normalizes through native boolean",
+    "#tr040": "'2.50' lexical normalizes through native double",
 }
 
 
