@@ -114,7 +114,9 @@ def doc_to_quad_rows(
             ctx = Context(base_iri=iri_mod.parse_base(url))
             expanded = expand_core(ctx, doc, loader, context_cache)
             dataset = jsonld_to_rdf(expanded, DefaultNodeGenerator())
-            dataset = canonicalize_dataset(dataset)
+            # sort=False: rows land in a DataFrame; every consumer sorts or
+            # aggregates itself, so the per-graph N-Quads-line sort is waste
+            dataset = canonicalize_dataset(dataset, sort=False)
         except E.CanonicalizationError as exc:
             if counters is not None:
                 counters["err_canon"] += 1
