@@ -107,12 +107,24 @@ class _Canonicalizer:
         self._fdh_cache: Dict[str, str] = {}
         for graph, quad in gquads:
             # one registration per quad per DISTINCT blank label: a quad like
-            # (_:a p _:a) must serialize once in hash-first-degree input
-            seen = set()
-            for term in (quad.subj, quad.obj_value if quad.obj_kind == "id" else None, graph):
-                if term is not None and term not in seen and is_blank(term):
-                    seen.add(term)
-                    self.bnode_quads.setdefault(term, []).append((graph, quad))
+            # (_:a p _:a) must serialize once in hash-first-degree input.
+            # Blank-position checks inlined ("_:" slice, no is_blank call,
+            # no set allocation) — most quads are blank-free and this loop
+            # touches every quad of every document on the extraction path.
+            subj = quad.subj
+            obj = quad.obj_value if quad.obj_kind == "id" else None
+            s_b = subj[:2] == "_:"
+            o_b = obj is not None and obj[:2] == "_:"
+            g_b = graph[:2] == "_:"
+            if not (s_b or o_b or g_b):
+                continue
+            pair = (graph, quad)
+            if s_b:
+                self.bnode_quads.setdefault(subj, []).append(pair)
+            if o_b and obj != subj:
+                self.bnode_quads.setdefault(obj, []).append(pair)
+            if g_b and graph != subj and graph != obj:
+                self.bnode_quads.setdefault(graph, []).append(pair)
 
     def _spend(self, units: int = 1) -> None:
         self.budget -= units
@@ -305,7 +317,8 @@ def canonicalize_dataset(
     mapping = canonical_labels(gquads, work_budget)
 
     def rename(term: str) -> str:
-        return mapping.get(term, term) if is_blank(term) else term
+        # "_:" slice inlined — called for every term of every quad
+        return mapping.get(term, term) if term[:2] == "_:" else term
 
     out: Dict[str, List[Quad]] = {}
     for graph, quads in dataset.items():
