@@ -324,6 +324,7 @@ def main() -> None:
                 tps_c, probe_c = _throughput_subprocess(cpus, replicate)
                 key = f"local[{cpus}]"
                 row[key] = tps_c
+                row[f"probe[{cpus}]"] = probe_c
                 if tps_c > scaling.get(key, 0.0):
                     scaling[key] = tps_c
                     probes[key] = probe_c
@@ -335,9 +336,30 @@ def main() -> None:
         # (CLAUDE.md: compare ratios from one quiet window only) — ratio of
         # per-config bests from different windows is biased DOWN whenever
         # the small config lands a quieter window than the big one (observed
-        # r5: cross-best 0.779 while the best same-pass ratio was >=0.8).
-        # Best same-pass ratio is reported; per-pass rows stay in the line.
+        # r5: cross-best 0.779 while same-pass pairs read 0.835/0.907).
+        # The reported pass is chosen by WINDOW QUALITY (each config's
+        # parallel-speedup probe over its measured quiet value), NOT by max
+        # ratio: a window shift inside a pass can fabricate a super-linear
+        # ratio (observed: 1.129 when local[2] was stolen and local[8]
+        # quiet), and picking the max would keep the artifact. Per-pass rows
+        # + probes stay in the line; quality < 0.75 flags the whole gate.
         result["scaling_passes"] = pass_rows
+        QUIET_SPEEDUP = {2: 1.7, 8: 7.8, 32: 25.8}  # measured quiet values
+
+        def _pass_quality(row):
+            return min(
+                row[f"probe[{c}]"] / QUIET_SPEEDUP[c]
+                for c in (2, 8, CPUS)
+                if f"probe[{c}]" in row
+            )
+
+        best_pass = max(pass_rows, key=_pass_quality)
+        result["scaling_pass_quality"] = round(_pass_quality(best_pass), 3)
+        if result["scaling_pass_quality"] < 0.75:
+            result["scaling_contended_flag"] = (
+                "no pass had all configs within 75% of quiet probes — "
+                "efficiency ratios untrustworthy, re-run"
+            )
         # The headline throughput uses the documented least-contaminated
         # estimator (BASELINE.md methodology): best of the in-process
         # median and the fresh-subprocess passes at the same width — the
@@ -368,13 +390,12 @@ def main() -> None:
             f"local[{CPUS}]); rounds<=3 recorded the post-sweep in-process "
             "median"
         )
-        result["scaling_efficiency_2_8"] = max(
-            round((row["local[8]"] / row["local[2]"]) / 4, 3) for row in pass_rows
+        result["scaling_efficiency_2_8"] = round(
+            (best_pass["local[8]"] / best_pass["local[2]"]) / 4, 3
         )
         if CPUS != 8:
-            result[f"scaling_efficiency_8_{CPUS}"] = max(
-                round((row[f"local[{CPUS}]"] / row["local[8]"]) / (CPUS / 8), 3)
-                for row in pass_rows
+            result[f"scaling_efficiency_8_{CPUS}"] = round(
+                (best_pass[f"local[{CPUS}]"] / best_pass["local[8]"]) / (CPUS / 8), 3
             )
         if CPUS == 32:
             result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
