@@ -412,7 +412,8 @@ def main() -> None:
         "triples_per_sec", "n_triples", "extract_sec",
         "scaling", "scaling_efficiency_2_8", f"scaling_efficiency_8_{CPUS}",
         "hardware_ceiling_8_32", "cc_rounds", "cc_jobs",
-        "triples_per_sec_divergence",
+        "triples_per_sec_divergence", "scaling_pass_quality",
+        "scaling_contended_flag",
     )
     compact = {k: result[k] for k in compact_keys if k in result}
     print(json.dumps(compact))
