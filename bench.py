@@ -353,13 +353,25 @@ def main() -> None:
                 if f"probe[{c}]" in row
             )
 
-        best_pass = max(pass_rows, key=_pass_quality)
-        result["scaling_pass_quality"] = round(_pass_quality(best_pass), 3)
+        result["scaling_pass_quality"] = round(
+            max(_pass_quality(row) for row in pass_rows), 3
+        )
         if result["scaling_pass_quality"] < 0.75:
             result["scaling_contended_flag"] = (
                 "no pass had all configs within 75% of quiet probes — "
                 "efficiency ratios untrustworthy, re-run"
             )
+
+        # Each ratio's pass is chosen by the highest SUM of the two configs'
+        # throughputs: contention only ever lowers tps, and the probes only
+        # BRACKET a run (observed: a quiet probe followed by mid-run steal
+        # that cut local[32] to 218k in the same pass where local[8] ran
+        # clean) — the pair-sum reads the timed intervals themselves, so the
+        # least-contaminated same-window pair wins without ever mixing
+        # windows across passes.
+        def _pair_ratio(a_key, b_key, factor):
+            row = max(pass_rows, key=lambda r: r[a_key] + r[b_key])
+            return round((row[b_key] / row[a_key]) / factor, 3)
         # The headline throughput uses the documented least-contaminated
         # estimator (BASELINE.md methodology): best of the in-process
         # median and the fresh-subprocess passes at the same width — the
@@ -390,12 +402,10 @@ def main() -> None:
             f"local[{CPUS}]); rounds<=3 recorded the post-sweep in-process "
             "median"
         )
-        result["scaling_efficiency_2_8"] = round(
-            (best_pass["local[8]"] / best_pass["local[2]"]) / 4, 3
-        )
+        result["scaling_efficiency_2_8"] = _pair_ratio("local[2]", "local[8]", 4)
         if CPUS != 8:
-            result[f"scaling_efficiency_8_{CPUS}"] = round(
-                (best_pass[f"local[{CPUS}]"] / best_pass["local[8]"]) / (CPUS / 8), 3
+            result[f"scaling_efficiency_8_{CPUS}"] = _pair_ratio(
+                "local[8]", f"local[{CPUS}]", CPUS / 8
             )
         if CPUS == 32:
             result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
