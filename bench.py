@@ -41,6 +41,55 @@ HEADLINE = [
 ]
 
 
+QUIET_SPEEDUP = {2: 1.7, 8: 7.8, 32: 25.8}  # measured quiet parallel speedups
+
+
+def pass_quality(row: dict, cpus_list=(2, 8, 32)) -> float:
+    """Window quality of one scaling pass: each config's parallel-speedup
+    probe over its measured quiet value, min over configs. Probes only
+    BRACKET a run — this score attests the windows, it must NOT select the
+    ratio (a quiet probe can be followed by mid-run steal)."""
+    return min(
+        row[f"probe[{c}]"] / QUIET_SPEEDUP[c]
+        for c in cpus_list
+        if f"probe[{c}]" in row
+    )
+
+
+def pair_ratio(pass_rows: list, a_key: str, b_key: str, factor: float):
+    """Scaling efficiency for one config pair. Returns (efficiency,
+    used_fallback).
+
+    Selection: the pass maximizing the max-min-normalized pair — each
+    config's throughput over its best across passes, min of the two — i.e.
+    the pass where BOTH configs ran closest to their demonstrated
+    capability. Contention only ever lowers tps, so this reads the timed
+    intervals themselves; a plain pair SUM is dominated by the larger
+    config and can pick a pass whose small config was stolen.
+
+    Clamp: if the selected same-pass ratio exceeds 1.0 — physically
+    impossible for this workload, so the windows shifted INSIDE the pass —
+    fall back to the cross-best ratio (conservative: it biased DOWN 0.779
+    vs 0.835/0.907 in clean sessions, which is why it is only the
+    impossibility fallback, never the primary).
+
+    Every alternative failed live in round 5: cross-best always → 0.779
+    bias; max same-pass ratio → fabricated 1.129; probe-quality selection
+    → 0.189 after mid-run steal under a quiet probe; pair-sum → picked the
+    1.129 pass because local[8] dominated the sum. The regression locks in
+    tests/test_bench_estimators.py replay each scenario."""
+    best_a = max(r[a_key] for r in pass_rows)
+    best_b = max(r[b_key] for r in pass_rows)
+    row = max(
+        pass_rows,
+        key=lambda r: min(r[a_key] / best_a, r[b_key] / best_b),
+    )
+    eff = (row[b_key] / row[a_key]) / factor
+    if eff > 1.0:
+        return round((best_b / best_a) / factor, 3), True
+    return round(eff, 3), False
+
+
 def make_spark(cpus: int):
     from jsonld_rs_spark.conf import session_builder
 
@@ -344,34 +393,14 @@ def main() -> None:
         # quiet), and picking the max would keep the artifact. Per-pass rows
         # + probes stay in the line; quality < 0.75 flags the whole gate.
         result["scaling_passes"] = pass_rows
-        QUIET_SPEEDUP = {2: 1.7, 8: 7.8, 32: 25.8}  # measured quiet values
-
-        def _pass_quality(row):
-            return min(
-                row[f"probe[{c}]"] / QUIET_SPEEDUP[c]
-                for c in (2, 8, CPUS)
-                if f"probe[{c}]" in row
-            )
-
         result["scaling_pass_quality"] = round(
-            max(_pass_quality(row) for row in pass_rows), 3
+            max(pass_quality(row, (2, 8, CPUS)) for row in pass_rows), 3
         )
         if result["scaling_pass_quality"] < 0.75:
             result["scaling_contended_flag"] = (
                 "no pass had all configs within 75% of quiet probes — "
                 "efficiency ratios untrustworthy, re-run"
             )
-
-        # Each ratio's pass is chosen by the highest SUM of the two configs'
-        # throughputs: contention only ever lowers tps, and the probes only
-        # BRACKET a run (observed: a quiet probe followed by mid-run steal
-        # that cut local[32] to 218k in the same pass where local[8] ran
-        # clean) — the pair-sum reads the timed intervals themselves, so the
-        # least-contaminated same-window pair wins without ever mixing
-        # windows across passes.
-        def _pair_ratio(a_key, b_key, factor):
-            row = max(pass_rows, key=lambda r: r[a_key] + r[b_key])
-            return round((row[b_key] / row[a_key]) / factor, 3)
         # The headline throughput uses the documented least-contaminated
         # estimator (BASELINE.md methodology): best of the in-process
         # median and the fresh-subprocess passes at the same width — the
@@ -402,11 +431,19 @@ def main() -> None:
             f"local[{CPUS}]); rounds<=3 recorded the post-sweep in-process "
             "median"
         )
-        result["scaling_efficiency_2_8"] = _pair_ratio("local[2]", "local[8]", 4)
+        eff28, fb28 = pair_ratio(pass_rows, "local[2]", "local[8]", 4)
+        result["scaling_efficiency_2_8"] = eff28
+        if fb28:
+            result["scaling_efficiency_2_8_fallback"] = "cross-best (same-pass >1.0)"
         if CPUS != 8:
-            result[f"scaling_efficiency_8_{CPUS}"] = _pair_ratio(
-                "local[8]", f"local[{CPUS}]", CPUS / 8
+            eff8n, fb8n = pair_ratio(
+                pass_rows, "local[8]", f"local[{CPUS}]", CPUS / 8
             )
+            result[f"scaling_efficiency_8_{CPUS}"] = eff8n
+            if fb8n:
+                result[f"scaling_efficiency_8_{CPUS}_fallback"] = (
+                    "cross-best (same-pass >1.0)"
+                )
         if CPUS == 32:
             result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
 
