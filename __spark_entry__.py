@@ -86,10 +86,25 @@ def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage extraction counters, SELF-GATING (VERDICT r5 #1): the driver
+    records this rows-only, so a silent engine regression (expansion or
+    canonicalization starting to fail per-document) would otherwise still
+    produce a green-looking row. The counters are computed eagerly here and
+    the invariants RAISE — flipping the driver's CORRECTNESS row to `err` —
+    when they break:
+
+    * err_jsonld == err_canon == 0 — the synth corpus plants MALFORMED JSON
+      (kind-4 truncated blocks → err_json) but never documents that fail
+      expansion or canonicalization; any nonzero count is an engine bug.
+    * err_json <= 30% of blocks — the planted truncation rate is ~1/6 of
+      blocks (synth.py kind==4); a parse-error explosion means the block
+      extractor regressed.
+    * triples > docs > 0 — extraction produced real output.
+    """
     from jsonld_rs_spark.pipeline.triples import extract_records, split_records
 
     _, metrics = split_records(extract_records(_pages(spark, sf_dir)))
-    return metrics.groupBy("stage").agg(
+    out = metrics.groupBy("stage").agg(
         F.sum("docs").alias("docs"),
         F.sum("blocks").alias("blocks"),
         F.sum("triples").alias("triples"),
@@ -97,6 +112,29 @@ def kg_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("err_jsonld").alias("err_jsonld"),
         F.sum("err_canon").alias("err_canon"),
     )
+    rows = out.collect()
+    tot = {
+        c: sum(r[c] or 0 for r in rows)
+        for c in ("docs", "blocks", "triples", "err_json", "err_jsonld", "err_canon")
+    }
+    if tot["err_jsonld"] or tot["err_canon"]:
+        raise AssertionError(
+            f"kg_extraction_metrics gate: err_jsonld={tot['err_jsonld']} "
+            f"err_canon={tot['err_canon']} (clean corpus must have 0)"
+        )
+    if tot["err_json"] > 0.3 * tot["blocks"]:
+        raise AssertionError(
+            f"kg_extraction_metrics gate: err_json={tot['err_json']} of "
+            f"{tot['blocks']} blocks exceeds the 30% planted-truncation bound"
+        )
+    if not (tot["triples"] > tot["docs"] > 0):
+        raise AssertionError(
+            f"kg_extraction_metrics gate: triples={tot['triples']} "
+            f"docs={tot['docs']} (need triples > docs > 0)"
+        )
+    schema = ("stage string, docs long, blocks long, triples long, "
+              "err_json long, err_jsonld long, err_canon long")
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
 
 
 def kg_assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +264,7 @@ def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_got"),
     )
-    return agg.select(
+    result = agg.select(
         F.round(
             F.when(F.col("n_got") > 0, F.col("tp") / F.col("n_got")).otherwise(0.0), 6
         ).alias("precision"),
@@ -235,6 +273,23 @@ def kg_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall"),
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_got").cast("long").alias("n_got"),
+    )
+    # SELF-GATING (VERDICT r5 #1): the driver records this query rows-only,
+    # so the VALUES — the whole point of the query — were invisible to the
+    # scoreboard: a parity collapse to 0.5 would still record spark_rows=1.
+    # Evaluate eagerly (the agg is 1 row; the plan runs exactly once) and
+    # RAISE below the P/R >= 0.95 gate so a value regression flips the
+    # driver's CORRECTNESS row to `err`. tests/test_pipeline.py carries the
+    # mutation test proving a broken extraction actually trips this.
+    row = result.collect()[0]
+    if row["precision"] < 0.95 or row["recall"] < 0.95:
+        raise AssertionError(
+            f"kg_golden_parity gate: precision={row['precision']} "
+            f"recall={row['recall']} below the 0.95 floor "
+            f"(n_ref={row['n_ref']}, n_got={row['n_got']})"
+        )
+    return spark.createDataFrame(
+        [tuple(row)], "precision double, recall double, n_ref long, n_got long"
     )
 
 

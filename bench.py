@@ -38,6 +38,10 @@ HEADLINE = [
     # expensive composed ops must be visible in BENCH_r*, not just tests
     "tfidf_top_terms_docs",
     "corpus_filter_docs",
+    # the custom stateful streaming gate (VERDICT r5 #7): sessionize at
+    # sf0.1 was measured once off-line (13.6 s); keep it in the recorded
+    # headline with its probe bracket like every other entry
+    "streaming_sessionize_events",
 ]
 
 
@@ -48,12 +52,22 @@ def pass_quality(row: dict, cpus_list=(2, 8, 32)) -> float:
     """Window quality of one scaling pass: each config's parallel-speedup
     probe over its measured quiet value, min over configs. Probes only
     BRACKET a run — this score attests the windows, it must NOT select the
-    ratio (a quiet probe can be followed by mid-run steal)."""
-    return min(
+    ratio (a quiet probe can be followed by mid-run steal).
+
+    Widths without a measured quiet baseline are skipped (ADVICE r5: with
+    SPARK_GRAFT_CPUS=16 the old code raised KeyError AFTER all expensive
+    passes completed); the score then attests only the calibrated widths."""
+    vals = [
         row[f"probe[{c}]"] / QUIET_SPEEDUP[c]
         for c in cpus_list
-        if f"probe[{c}]" in row
-    )
+        if c in QUIET_SPEEDUP and f"probe[{c}]" in row
+    ]
+    if not vals:
+        raise ValueError(
+            f"pass_quality: no config in {cpus_list} has both a quiet "
+            f"baseline ({sorted(QUIET_SPEEDUP)}) and a probe in the row"
+        )
+    return min(vals)
 
 
 def pair_ratio(pass_rows: list, a_key: str, b_key: str, factor: float):
@@ -386,12 +400,16 @@ def main() -> None:
         # per-config bests from different windows is biased DOWN whenever
         # the small config lands a quieter window than the big one (observed
         # r5: cross-best 0.779 while same-pass pairs read 0.835/0.907).
-        # The reported pass is chosen by WINDOW QUALITY (each config's
-        # parallel-speedup probe over its measured quiet value), NOT by max
-        # ratio: a window shift inside a pass can fabricate a super-linear
-        # ratio (observed: 1.129 when local[2] was stolen and local[8]
-        # quiet), and picking the max would keep the artifact. Per-pass rows
-        # + probes stay in the line; quality < 0.75 flags the whole gate.
+        # The reported pass is chosen by pair_ratio's MAX-MIN-NORMALIZED
+        # selection (the pass where both configs ran closest to their
+        # demonstrated best), with the cross-best ratio only as the
+        # impossibility fallback when the same-pass ratio exceeds 1.0.
+        # NOT probe-quality selection (read 0.189 live after mid-run steal
+        # under a quiet probe), NOT max ratio (kept a fabricated 1.129),
+        # NOT pair-sum (magnitude-dominated, picked the 1.129 pass) — see
+        # pair_ratio's docstring and tests/test_bench_estimators.py.
+        # Per-pass rows + probes stay in the line; pass_quality here only
+        # ATTESTS the windows (< 0.75 flags the whole gate).
         result["scaling_passes"] = pass_rows
         result["scaling_pass_quality"] = round(
             max(pass_quality(row, (2, 8, CPUS)) for row in pass_rows), 3
@@ -448,6 +466,21 @@ def main() -> None:
             result["hardware_ceiling_8_32"] = _cpu_ceiling_8_to_32()
 
     print(json.dumps(result))
+    # Full-line persistence (VERDICT r5 #2): BENCH_r05's recorded minhash
+    # 9.95 s could not defend itself — its query_probes bracket was
+    # truncated out of the driver's fixed-size stdout tail. Write the
+    # COMPLETE metric line (all probes, all scaling passes) to a repo file
+    # every run so every recorded per-query number's window evidence is
+    # reconstructible even when the stdout tail loses it.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # a read-only checkout must not kill the bench
+        print(f"warning: BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
     # Tail-survivable summary (VERDICT r4 #2): BENCH_r04 recorded
     # parsed=null because the full line outgrew the driver's fixed-size
     # stdout tail once query_probes was added. Emit a SECOND, compact JSON

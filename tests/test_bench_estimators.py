@@ -1,8 +1,12 @@
 """Regression locks for bench.py's scaling-efficiency estimator.
 
 Each scenario below happened LIVE in round 5 and broke a previous
-estimator; the pair-sum selection must keep handling all three. Numbers
-are the actual measured pass rows from the round-5 sessions.
+estimator; the CURRENT estimator — max-min-normalized same-pass selection
+with a >1.0 impossibility clamp to cross-best (bench.pair_ratio) — must
+keep handling all three. (Rejected along the way: cross-best ratio, max
+same-pass ratio, probe-quality selection, and pair-sum selection — the
+last picked the fabricated-1.129 pass because local[8] dominated the sum.)
+Numbers are the actual measured pass rows from the round-5 sessions.
 """
 
 import os
@@ -69,3 +73,13 @@ def test_mid_run_steal_with_quiet_probe_is_not_selected():
 def test_pass_quality_flags_contended_windows():
     contended = {"probe[2]": 0.9, "probe[8]": 4.0, "probe[32]": 12.0}
     assert pass_quality(contended) < 0.75
+
+
+def test_pass_quality_skips_uncalibrated_widths():
+    """ADVICE r5: SPARK_GRAFT_CPUS=16 (no quiet baseline for 16) must not
+    KeyError after all expensive passes completed — the score attests the
+    calibrated widths only, and an all-uncalibrated row fails fast."""
+    row = {"probe[2]": 1.7, "probe[8]": 7.8, "probe[16]": 10.0}
+    assert pass_quality(row, (2, 8, 16)) == pytest.approx(1.0, abs=0.01)
+    with pytest.raises(ValueError):
+        pass_quality({"probe[16]": 10.0}, (16,))

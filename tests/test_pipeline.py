@@ -211,3 +211,63 @@ def test_dedup_triples_deterministic_representative(spark):
                 ("http://s/1", "http://a.example/1"),
                 ("http://s/2", "http://b.example/9"),
             }
+
+
+# --------------------------------------------------------------------- #
+# Driver-gate mutation tests (VERDICT r5 #1): the rows-only kg_* queries
+# are self-gating — a VALUE regression must RAISE so the driver's
+# CORRECTNESS row flips to `err` instead of staying a green-looking
+# no_oracle row. These prove the gates actually trip.
+# --------------------------------------------------------------------- #
+
+
+def test_golden_parity_green_path(spark, sf_dir):
+    """Unmutated engine: the driver query passes its own gate and reports
+    P = R = 1.0 over the 1-in-10 sample."""
+    import __spark_entry__ as e
+
+    row = e.kg_golden_parity(spark, sf_dir).collect()[0]
+    assert row["precision"] == 1.0 and row["recall"] == 1.0
+    assert row["n_ref"] == row["n_got"] > 0
+
+
+def test_golden_parity_gate_trips_on_mutated_extraction(spark, sf_dir, monkeypatch):
+    """Mutation: Spark-side extraction silently drops a deterministic half
+    of its triples → recall collapses → the query must RAISE (not return a
+    1-row DataFrame the driver would record as green)."""
+    import __spark_entry__ as e
+    from jsonld_rs_spark.pipeline import triples as triples_mod
+
+    real_split = triples_mod.split_records
+
+    def broken_split(records):
+        t, m = real_split(records)
+        return t.filter(F.abs(F.xxhash64("subj", "pred", "obj_value")) % 2 == 0), m
+
+    monkeypatch.setattr(triples_mod, "split_records", broken_split)
+    with pytest.raises(AssertionError, match="kg_golden_parity gate"):
+        e.kg_golden_parity(spark, sf_dir)
+
+
+def test_extraction_metrics_green_path(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.kg_extraction_metrics(spark, sf_dir).collect()
+    assert rows and sum(r["triples"] for r in rows) > 0
+
+
+def test_extraction_metrics_gate_trips_on_error_explosion(spark, sf_dir, monkeypatch):
+    """Mutation: per-document expansion failures start being counted → the
+    err_jsonld==0 invariant must RAISE."""
+    import __spark_entry__ as e
+    from jsonld_rs_spark.pipeline import triples as triples_mod
+
+    real_split = triples_mod.split_records
+
+    def broken_split(records):
+        t, m = real_split(records)
+        return t, m.withColumn("err_jsonld", F.col("err_jsonld") + F.lit(7))
+
+    monkeypatch.setattr(triples_mod, "split_records", broken_split)
+    with pytest.raises(AssertionError, match="err_jsonld"):
+        e.kg_extraction_metrics(spark, sf_dir)
