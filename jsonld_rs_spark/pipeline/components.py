@@ -213,14 +213,14 @@ def _rewrite_column(df: DataFrame, comp: DataFrame, col: str) -> DataFrame:
     )
 
 
-def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> DataFrame:
-    """Rewrite subj, id-objects AND graph names to their canonical component
-    representative (sort-merge joins on the big side; AQE handles skewed hub
-    entities). The table is split by obj_kind FIRST so literal rows never
-    enter the object join (their payload is the corpus's bulk, and it would
-    be shuffled just to be discarded) and so the union branches share no
-    recomputed joins. Graph names are rewritten too: a named graph declared
-    by an entity must follow the entity's canonical id or assembly drops it."""
+def _canonicalize_subjects_joinwise(
+    triples_df: DataFrame, components_df: DataFrame
+) -> DataFrame:
+    """Rounds 1-5 implementation — one left join per rewritable column (3 on
+    the id slice, 2 on the literal slice = five shuffles of the full-width
+    triple table). Kept for the A/B in PLANS.md and as the semantics twin in
+    tests/test_components.py; ``canonicalize_subjects`` below moves the same
+    rewrite onto narrow key traffic."""
     comp = components_df
     ids = triples_df.filter(F.col("obj_kind") == "id")
     literals = triples_df.filter(F.col("obj_kind") != "id")
@@ -229,3 +229,80 @@ def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> Da
     for col in ("subj", "graph"):
         literals = _rewrite_column(literals, comp, col)
     return ids.select(*TRIPLE_COLS).unionByName(literals.select(*TRIPLE_COLS))
+
+
+def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> DataFrame:
+    """Rewrite subj, id-objects AND graph names to their canonical component
+    representative. Graph names are rewritten too: a named graph declared by
+    an entity must follow the entity's canonical id or assembly drops it;
+    literal obj_values are never rewritten even if they textually match a
+    node id.
+
+    Shuffle shape (VERDICT r5 #4): the join-per-column version shuffled the
+    FULL-WIDTH triple table five times (subj/graph/obj_value on the id
+    slice, subj/graph on the literal slice) — at 100× the triple table
+    through the exchange dominates kg_canonical_triples. This melt version
+    shuffles the wide table ONCE and moves everything else onto narrow key
+    rows:
+
+    1. melt each row's rewritable keys to (row_id, role, key) — ≤3 narrow
+       rows per triple, obj_value only when obj_kind='id' (literal payloads,
+       the corpus's bulk, never enter any rewrite exchange);
+    2. inner-join the melted keys against components (narrow × components;
+       AQE broadcasts components when small, skew-splits hub entities when
+       not) and pivot the matches back to one (row_id, subj/graph/obj
+       replacement) row via max-per-role — each role occurs at most once
+       per row_id so max() is just "the match if any";
+    3. left-join the wide table against the narrow replacement rows on
+       row_id (the single wide shuffle; AQE broadcasts the replacements
+       when few rows matched — the common case, since sameAs nodes are a
+       small fraction of all triples) and coalesce.
+
+    row_id is md5 over all 8 columns (NULLs sentinel-coalesced): content-
+    derived, so deterministic under task retry/recompute — unlike
+    monotonically_increasing_id — and 128 bits, so collisions are not a
+    realistic event at any corpus size. Duplicate input rows share a row_id
+    harmlessly: they melt to identical key rows and receive identical
+    replacements."""
+    comp = components_df
+    rid = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in TRIPLE_COLS]
+        )
+    )
+    t = triples_df.withColumn("__rid", rid)
+    keys = (
+        t.select(
+            "__rid",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("s").alias("role"), F.col("subj").alias("k")),
+                    F.struct(F.lit("g").alias("role"), F.col("graph").alias("k")),
+                    F.struct(
+                        F.when(F.col("obj_kind") == "id", F.lit("o")).alias("role"),
+                        F.col("obj_value").alias("k"),
+                    ),
+                )
+            ).alias("rk"),
+        )
+        .select("__rid", F.col("rk.role").alias("role"), F.col("rk.k").alias("k"))
+        .filter(F.col("role").isNotNull() & F.col("k").isNotNull())
+    )
+    matches = keys.join(
+        comp.select(F.col("node").alias("k"), "component"), "k"
+    )
+    repl = matches.groupBy("__rid").agg(
+        F.max(F.when(F.col("role") == "s", F.col("component"))).alias("__s"),
+        F.max(F.when(F.col("role") == "g", F.col("component"))).alias("__g"),
+        F.max(F.when(F.col("role") == "o", F.col("component"))).alias("__o"),
+    )
+    return t.join(repl, "__rid", "left").select(
+        "url",
+        F.coalesce("__g", F.col("graph")).alias("graph"),
+        F.coalesce("__s", F.col("subj")).alias("subj"),
+        "pred",
+        "obj_kind",
+        F.coalesce("__o", F.col("obj_value")).alias("obj_value"),
+        "obj_datatype",
+        "obj_lang",
+    ).select(*TRIPLE_COLS)
