@@ -84,6 +84,7 @@ def doc_to_quad_rows(
     counters: Optional[Dict[str, int]] = None,
     context_cache: Optional[Dict[str, Any]] = None,
     quarantine: Optional[List[tuple]] = None,
+    allowed_blocks: Optional[set] = None,
 ) -> List[tuple]:
     """Pure per-document algorithm; returns triple rows for one page.
 
@@ -91,15 +92,24 @@ def doc_to_quad_rows(
     within a worker (millions of pages share a handful of contexts).
     ``quarantine`` (optional list) collects (url, block_index, error_code)
     for every failed block so bad inputs are replayable, not just counted.
+    ``allowed_blocks`` (optional set of block indices) restricts the pass to
+    those blocks — the quarantine-replay path re-drives exactly the failed
+    blocks without re-emitting the page's already-extracted good blocks.
     """
     loader = make_loader(store)
     rows: List[tuple] = []
     blocks = extract_jsonld_blocks(html)
     if counters is not None:
         counters["docs"] += 1
-        counters["blocks"] += len(blocks)
+        counters["blocks"] += (
+            len(blocks)
+            if allowed_blocks is None
+            else sum(1 for i in range(len(blocks)) if i in allowed_blocks)
+        )
     ns = url_ns(url)
     for block_index, block in enumerate(blocks):
+        if allowed_blocks is not None and block_index not in allowed_blocks:
+            continue
         try:
             # RecursionError: adversarially nested JSON blows the C parser's
             # stack long before expand's MAX_DEPTH guard can see the doc.
@@ -247,11 +257,18 @@ def split_records(records_df):
 
 
 def quarantined(records_df):
-    """records → (url, block_index, error) rows for failed blocks — the
-    replayable poison-document table."""
+    """records → (url, block_index, error) rows for failed blocks that have
+    NOT been healed by a replay — the replayable poison-document table.
+
+    The records table is append-only (at crawl scale a rewrite of the full
+    records table to clear one poison row is absurd), so a successful replay
+    appends a resolved marker (rec_kind='r', VERDICT r5 #6) instead of
+    deleting the 'q' row; this view anti-joins the markers out. A block that
+    failed again on replay has a fresh 'q' row and no marker — it stays
+    listed (distinct collapses the repeated identical rows)."""
     from pyspark.sql import functions as F
 
-    return (
+    q = (
         records_df.filter(F.col("rec_kind") == "q")
         .select(
             "url",
@@ -259,6 +276,91 @@ def quarantined(records_df):
         )
         .select("url", "q.block_index", "q.error")
     )
+    resolved = (
+        records_df.filter(F.col("rec_kind") == "r")
+        .select(
+            "url",
+            F.from_json("metrics", "block_index int").alias("r"),
+        )
+        .select("url", "r.block_index")
+    )
+    return q.join(resolved, ["url", "block_index"], "left_anti").distinct()
+
+
+def extract_replay_records(pages_with_blocks_df, store: Optional[Dict[str, Any]] = None,
+                           stage: str = "replay"):
+    """(url, html, replay_blocks array<int>) → records for the quarantine
+    replay (VERDICT r5 #6). Per block (the replay unit):
+
+    * success → its 't' triple rows plus one resolved marker
+      (rec_kind='r', metrics={block_index}) — ``quarantined`` anti-joins the
+      marker so the block leaves the poison table; a block that succeeds
+      with zero triples still resolves;
+    * failure → a fresh 'q' row (same containment as the main pass — the
+      store fix may not cover every poisoned block, and one still-bad block
+      must never kill the replay task).
+
+    One 'm' metrics row per Arrow batch, stage-tagged ``replay`` so lineage
+    attributes the healed triples to the replay run."""
+    import pandas as pd
+
+    spark = pages_with_blocks_df.sparkSession
+    store_b = spark.sparkContext.broadcast(store or BUILTIN_CONTEXTS)
+    src = pages_with_blocks_df.select("url", "html", "replay_blocks")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        local_store = store_b.value
+        context_cache: Dict[str, Any] = {}
+        for pdf in batches:
+            t0 = time.monotonic()
+            counters = {
+                "docs": 0,
+                "blocks": 0,
+                "triples": 0,
+                "err_json": 0,
+                "err_jsonld": 0,
+                "err_canon": 0,
+            }
+            out: List[tuple] = []
+            for url, html, blocks in zip(pdf["url"], pdf["html"], pdf["replay_blocks"]):
+                quarantine: List[tuple] = []
+                n_calls = 0
+                for bi in sorted(int(b) for b in blocks):
+                    n_calls += 1
+                    q_before = len(quarantine)
+                    doc_rows = doc_to_quad_rows(
+                        url, bytes(html), local_store, counters, context_cache,
+                        quarantine, allowed_blocks={bi},
+                    )
+                    for row in doc_rows:
+                        out.append(("t",) + row + (None,))
+                    if len(quarantine) == q_before:
+                        out.append(
+                            ("r", url, None, None, None, None, None, None, None,
+                             json.dumps({"block_index": bi}))
+                        )
+                for q_url, block_index, code in quarantine:
+                    out.append(
+                        ("q", q_url, None, None, None, None, None, None, None,
+                         json.dumps({"block_index": block_index, "error": code}))
+                    )
+                if n_calls > 1:
+                    # doc_to_quad_rows counts docs per call = per block here;
+                    # a page is one doc however many blocks it replays
+                    counters["docs"] -= n_calls - 1
+            counters["wall_ms"] = int((time.monotonic() - t0) * 1000)
+            counters["partition_id"] = pid
+            counters["stage"] = stage
+            out.append(
+                ("m", None, None, None, None, None, None, None, None,
+                 json.dumps(counters))
+            )
+            yield pd.DataFrame(out, columns=["rec_kind"] + TRIPLE_COLUMNS + ["metrics"])
+
+    return src.mapInPandas(run, schema=RECORDS_SCHEMA)
 
 
 def extract_triples(pages_df, store: Optional[Dict[str, Any]] = None):
