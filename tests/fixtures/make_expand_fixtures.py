@@ -4577,6 +4577,796 @@ SPEC_CASES += [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 spec-authored cases (VERDICT r5 #3): same provenance discipline as
+# the round-5 block above — every EXPECTED output below is hand-derived from
+# the JSON-LD 1.0 expansion algorithm (W3C CR 2014, §8: IRI expansion §8.2,
+# value expansion §8.7, container handling §8.4 steps 7.5-7.7, @reverse
+# §8.4 steps 7.4.11/7.4.13) and RFC 3986 §5.2-§5.4, written literally, and
+# asserted against the implementation at generation time. Themes: the
+# remaining public-manifest shapes — @type:@vocab coercion, native-value ×
+# datatype coercion, index/language-map corners, authority-less (urn:) and
+# query-carrying base resolution, context reset/override sequences, @reverse
+# composition, idempotence of expanded input, duplicate preservation.
+# ---------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+SPEC_CASES += [
+    # -- @type: @vocab coercion (spec §8.7 step 2, IRI expansion vocab path) --
+    (
+        "ts201",
+        "@vocab coercion resolves a defined term before the vocab mapping",
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "p": {"@id": "http://e.example/p", "@type": "@vocab"},
+                "Friend": "http://f.example/Friend",
+            },
+            "p": ["Friend", "Other"],
+        },
+        {},
+        [
+            {
+                "http://e.example/p": [
+                    {"@id": "http://f.example/Friend"},
+                    {"@id": "http://v.example/Other"},
+                ]
+            }
+        ],
+    ),
+    (
+        "ts202",
+        "@vocab coercion keeps an absolute IRI untouched",
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "p": {"@id": "http://e.example/p", "@type": "@vocab"},
+            },
+            "p": "http://x.example/abs",
+        },
+        {},
+        [{"http://e.example/p": [{"@id": "http://x.example/abs"}]}],
+    ),
+    (
+        "ts203",
+        "@vocab coercion without a vocab mapping falls back to document-relative",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": "@vocab"}},
+            "p": "other",
+        },
+        {},
+        # no term, no @vocab: IRI expansion ends at the document-relative
+        # step and resolves against the test's base IRI
+        [{"http://e.example/p": [{"@id": "https://w3c.example/tests/other"}]}],
+    ),
+    (
+        "ts204",
+        "@vocab coercion applies only to strings; a number stays a plain value",
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "p": {"@id": "http://e.example/p", "@type": "@vocab"},
+            },
+            "p": 5,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": 5}]}],
+    ),
+    # -- native values x datatype coercion (value expansion §8.7 step 4) ----
+    (
+        "ts205",
+        "boolean with a datatype coercion keeps the native value and adds @type",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": _XSD + "boolean"}},
+            "p": True,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": True, "@type": _XSD + "boolean"}]}],
+    ),
+    (
+        "ts206",
+        "@id coercion applies only to strings; a number stays a plain value",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}},
+            "p": 5,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": 5}]}],
+    ),
+    (
+        "ts207",
+        "a large double stays native in expansion (canonical form is toRDF's job)",
+        {"@context": {"p": "http://e.example/p"}, "p": 1e21},
+        {},
+        [{"http://e.example/p": [{"@value": 1e21}]}],
+    ),
+    (
+        "ts208",
+        "datatype coercion does not validate: xsd:integer on a double keeps 1.1",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": _XSD + "integer"}},
+            "p": 1.1,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": 1.1, "@type": _XSD + "integer"}]}],
+    ),
+    (
+        "ts209",
+        "datatype coercion applies to a native integer",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": _XSD + "decimal"}},
+            "p": 5,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": 5, "@type": _XSD + "decimal"}]}],
+    ),
+    # -- index containers (§8.4 step 7.6) ----------------------------------
+    (
+        "ts210",
+        "index map adds the key as @index to a node value that lacks one",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@index"}},
+            "p": {"i1": {"@id": "http://e.example/n"}},
+        },
+        {},
+        [{"http://e.example/p": [{"@id": "http://e.example/n", "@index": "i1"}]}],
+    ),
+    (
+        "ts211",
+        "index map keeps a value's own @index over the map key",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@index"}},
+            "p": {"i1": {"@id": "http://e.example/n", "@index": "own"}},
+        },
+        {},
+        [{"http://e.example/p": [{"@id": "http://e.example/n", "@index": "own"}]}],
+    ),
+    (
+        "ts212",
+        "index map stamps every element of an array value with the key",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@index"}},
+            "p": {"i1": [{"@id": "http://e.example/n1"}, {"@id": "http://e.example/n2"}]},
+        },
+        {},
+        [
+            {
+                "http://e.example/p": [
+                    {"@id": "http://e.example/n1", "@index": "i1"},
+                    {"@id": "http://e.example/n2", "@index": "i1"},
+                ]
+            }
+        ],
+    ),
+    (
+        "ts213",
+        "index map value that is a list object carries the key as @index",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@index"}},
+            "p": {"i1": {"@list": ["a"]}},
+        },
+        {},
+        [
+            {
+                "http://e.example/p": [
+                    {"@list": [{"@value": "a"}], "@index": "i1"}
+                ]
+            }
+        ],
+    ),
+    # -- language maps (§8.4 step 7.5; BCP47 case-insensitivity) ------------
+    (
+        "ts214",
+        "language map keys are lowercased on the emitted @language",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@language"}},
+            "p": {"EN": "hi", "de-DE": "hallo"},
+        },
+        {},
+        # sorted key iteration: "EN" < "de-DE" by code point
+        [
+            {
+                "http://e.example/p": [
+                    {"@value": "hi", "@language": "en"},
+                    {"@value": "hallo", "@language": "de-de"},
+                ]
+            }
+        ],
+    ),
+    (
+        "ts215",
+        "a context default @language does not leak into language-map entries",
+        {
+            "@context": {
+                "@language": "fr",
+                "p": {"@id": "http://e.example/p", "@container": "@language"},
+            },
+            "p": {"en": "hi"},
+        },
+        {},
+        [{"http://e.example/p": [{"@value": "hi", "@language": "en"}]}],
+    ),
+    # -- RFC 3986 §5.4 corners over the round-5 base ------------------------
+    (
+        "ts216",
+        "merge keeps a semicolon path segment and removes an interior single dot",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "g;x=1/./y"},
+        {"base": _RB},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b/g;x=1/y"}]}],
+    ),
+    (
+        "ts217",
+        "an interior dot-dot collapses the segment before it",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "g;x=1/../y"},
+        {"base": _RB},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b/y"}]}],
+    ),
+    (
+        "ts218",
+        "dot segments in the QUERY are not removed",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "g?y/./x"},
+        {"base": _RB},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b/g?y/./x"}]}],
+    ),
+    (
+        "ts219",
+        "dot segments in the FRAGMENT are not removed",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "#s/../x"},
+        {"base": _RB},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b/c#s/../x"}]}],
+    ),
+    (
+        "ts220",
+        "an empty reference returns the base INCLUDING its query",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": ""},
+        {"base": "https://site.example/a/b?bq"},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b?bq"}]}],
+    ),
+    (
+        "ts221",
+        "a fragment reference against an authority-less (urn) base appends",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "#f"},
+        {"base": "urn:a:b"},
+        [{"http://e.example/p": [{"@id": "urn:a:b#f"}]}],
+    ),
+    (
+        "ts222",
+        "relative merge against an authority-less base with no slash replaces the path",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "g"},
+        {"base": "urn:a:b"},
+        # RFC 3986 §5.3 merge: no authority, base path has no "/": result is
+        # just the reference, keeping only the scheme
+        [{"http://e.example/p": [{"@id": "urn:g"}]}],
+    ),
+    (
+        "ts223",
+        "a query reference against a query-carrying base replaces the query",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "?n"},
+        {"base": "https://site.example/a/b?bq"},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b?n"}]}],
+    ),
+    # -- context reset / override sequences (§7.1) --------------------------
+    (
+        "ts224",
+        "a null inside an array context wipes earlier terms before later ones load",
+        {
+            "@context": [{"a": "http://e.example/a"}, None, {"b": "http://e.example/b"}],
+            "a": "x",
+            "b": "y",
+        },
+        {},
+        # "a" is no longer a term (and there is no @vocab), so its entry drops
+        [{"http://e.example/b": [{"@value": "y"}]}],
+    ),
+    (
+        "ts225",
+        "a later context redefines a term in place",
+        {
+            "@context": [{"p": "http://old.example/p"}, {"p": "http://new.example/p"}],
+            "p": "x",
+        },
+        {},
+        [{"http://new.example/p": [{"@value": "x"}]}],
+    ),
+    (
+        "ts226",
+        "@vocab null in a later context clears the fallback for undefined keys",
+        {
+            "@context": [{"@vocab": "http://v.example/"}, {"@vocab": None}],
+            "k": "x",
+            "http://e.example/p": "y",
+        },
+        {},
+        [{"http://e.example/p": [{"@value": "y"}]}],
+    ),
+    (
+        "ts227",
+        "@base null leaves relative @id references unresolved",
+        {
+            "@context": {"@base": None, "p": {"@id": "http://e.example/p", "@type": "@id"}},
+            "@id": "rel/x",
+            "p": "also/rel",
+        },
+        {},
+        [{"@id": "rel/x", "http://e.example/p": [{"@id": "also/rel"}]}],
+    ),
+    (
+        "ts228",
+        "a relative @base resolves against the document base first",
+        {
+            "@context": {"@base": "sub/dir/", "name": "http://s.example/name"},
+            "@id": "item",
+            "name": "x",
+        },
+        {},
+        # document base is https://w3c.example/tests/ts128-in.jsonld; @base
+        # "sub/dir/" resolves there, then @id "item" resolves against that
+        [
+            {
+                "@id": "https://w3c.example/tests/sub/dir/item",
+                "http://s.example/name": [{"@value": "x"}],
+            }
+        ],
+    ),
+    (
+        "ts229",
+        "a later @base chains onto the one the previous context set",
+        {
+            "@context": [{"@base": "https://h.example/x/"}, {"@base": "y/"}],
+            "@id": "item",
+            "http://e.example/p": "v",
+        },
+        {},
+        [
+            {
+                "@id": "https://h.example/x/y/item",
+                "http://e.example/p": [{"@value": "v"}],
+            }
+        ],
+    ),
+    # -- @reverse composition (§8.4 steps 7.4.11/7.4.13) --------------------
+    (
+        "ts230",
+        "@reverse of a reverse term cancels back to a forward property",
+        {
+            "@context": {"children": {"@reverse": "http://e.example/parent"}},
+            "@id": "http://e.example/root",
+            "@reverse": {"children": {"@id": "http://e.example/k"}},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/root",
+                "http://e.example/parent": [{"@id": "http://e.example/k"}],
+            }
+        ],
+    ),
+    (
+        "ts231",
+        "a reverse term with @container @set still lands under @reverse",
+        {
+            "@context": {
+                "kids": {"@reverse": "http://e.example/parent", "@container": "@set"}
+            },
+            "@id": "http://e.example/r",
+            "kids": [{"@id": "http://e.example/k"}],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/r",
+                "@reverse": {"http://e.example/parent": [{"@id": "http://e.example/k"}]},
+            }
+        ],
+    ),
+    (
+        "ts232",
+        "compact-IRI keys inside an explicit @reverse map expand",
+        {
+            "@context": {"ex": "http://e.example/"},
+            "@id": "http://e.example/r",
+            "@reverse": {"ex:parent": {"@id": "http://e.example/k"}},
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/r",
+                "@reverse": {"http://e.example/parent": [{"@id": "http://e.example/k"}]},
+            }
+        ],
+    ),
+    (
+        "ts233",
+        "two properties inside one @reverse map each collect their nodes",
+        {
+            "@context": {"ex": "http://e.example/"},
+            "@id": "http://e.example/r",
+            "@reverse": {
+                "ex:a": [{"@id": "http://e.example/n1"}, {"@id": "http://e.example/n2"}],
+                "ex:b": {"@id": "http://e.example/n3"},
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/r",
+                "@reverse": {
+                    "http://e.example/a": [
+                        {"@id": "http://e.example/n1"},
+                        {"@id": "http://e.example/n2"},
+                    ],
+                    "http://e.example/b": [{"@id": "http://e.example/n3"}],
+                },
+            }
+        ],
+    ),
+    # -- idempotence of expanded input --------------------------------------
+    (
+        "ts234",
+        "expanding an already-expanded node array is the identity",
+        [{"@id": "http://e.example/a", "http://e.example/p": [{"@value": "x"}]}],
+        {},
+        [{"@id": "http://e.example/a", "http://e.example/p": [{"@value": "x"}]}],
+    ),
+    (
+        "ts235",
+        "an expanded typed value object passes through unchanged",
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://e.example/p": [{"@value": "5", "@type": _XSD + "gYear"}],
+            }
+        ],
+        {},
+        [
+            {
+                "@id": "http://e.example/a",
+                "http://e.example/p": [{"@value": "5", "@type": _XSD + "gYear"}],
+            }
+        ],
+    ),
+    # -- duplicates, empties, pass-throughs ---------------------------------
+    (
+        "ts236",
+        "duplicate literal values are preserved (expansion never dedups)",
+        {"@context": {"p": "http://e.example/p"}, "p": ["x", "x"]},
+        {},
+        [{"http://e.example/p": [{"@value": "x"}, {"@value": "x"}]}],
+    ),
+    (
+        "ts237",
+        "an empty @list stays an empty list object",
+        {"@context": {"p": "http://e.example/p"}, "p": {"@list": []}},
+        {},
+        [{"http://e.example/p": [{"@list": []}]}],
+    ),
+    (
+        "ts238",
+        "a value object carries @type and @index together",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "p": {"@value": "5", "@type": "http://t.example/T", "@index": "i"},
+        },
+        {},
+        [
+            {
+                "http://e.example/p": [
+                    {"@value": "5", "@type": "http://t.example/T", "@index": "i"}
+                ]
+            }
+        ],
+    ),
+    (
+        "ts239",
+        "a null value for a @container @list term drops the entry entirely",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@container": "@list"}},
+            "@id": "http://e.example/n",
+            "p": None,
+        },
+        {},
+        # the node then has only @id and is NOT free-floating-dropped here
+        # because it sits at the top level as the only result: a node with
+        # only @id IS dropped per §8.4 step 8.3
+        [],
+    ),
+    (
+        "ts240",
+        "a @container @list term wraps node references after @id coercion",
+        {
+            "@context": {
+                "p": {"@id": "http://e.example/p", "@container": "@list", "@type": "@id"}
+            },
+            "@id": "http://e.example/n",
+            "p": ["a", "http://x.example/b"],
+        },
+        {"base": "https://site.example/dir/doc"},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://e.example/p": [
+                    {
+                        "@list": [
+                            {"@id": "https://site.example/dir/a"},
+                            {"@id": "http://x.example/b"},
+                        ]
+                    }
+                ],
+            }
+        ],
+    ),
+]
+
+
+
+
+SPEC_CASES += [
+    # -- batch 2: keyword/value pass-throughs, generalized RDF, ordering ----
+    (
+        "ts241",
+        "an empty @type array is preserved",
+        {"@context": {}, "@id": "http://e.example/n", "@type": [], "http://e.example/p": "v"},
+        {},
+        [{"@id": "http://e.example/n", "@type": [], "http://e.example/p": [{"@value": "v"}]}],
+    ),
+    (
+        "ts242",
+        "a blank-node property key survives (generalized RDF)",
+        {"@context": {}, "@id": "http://e.example/n", "_:bp": "v"},
+        {},
+        [{"@id": "http://e.example/n", "_:bp": [{"@value": "v"}]}],
+    ),
+    (
+        "ts243",
+        "a compact IRI with an empty suffix expands to the prefix IRI itself",
+        {"@context": {"ex": "http://e.example/"}, "@id": "http://e.example/n", "ex:": "v"},
+        {},
+        [{"@id": "http://e.example/n", "http://e.example/": [{"@value": "v"}]}],
+    ),
+    (
+        "ts244",
+        "a compact IRI splits on the FIRST colon only",
+        {"@context": {"a": "http://e.example/"}, "@id": "http://e.example/n", "a:b:c": "v"},
+        {},
+        [{"@id": "http://e.example/n", "http://e.example/b:c": [{"@value": "v"}]}],
+    ),
+    (
+        "ts245",
+        "an empty object under a property survives as an empty node object",
+        {"@context": {"p": "http://e.example/p"}, "@id": "http://e.example/n", "p": {}},
+        {},
+        # the free-floating drop rules apply at the top level only; an
+        # embedded node object with zero members is kept
+        [{"@id": "http://e.example/n", "http://e.example/p": [{}]}],
+    ),
+    (
+        "ts246",
+        "a default @language stamps every string of an array value",
+        {"@context": {"@language": "en", "p": "http://e.example/p"}, "p": ["a", "b"]},
+        {},
+        [
+            {
+                "http://e.example/p": [
+                    {"@value": "a", "@language": "en"},
+                    {"@value": "b", "@language": "en"},
+                ]
+            }
+        ],
+    ),
+    (
+        "ts247",
+        "an explicit @language in a value object beats the context default",
+        {
+            "@context": {"@language": "en", "p": "http://e.example/p"},
+            "p": {"@value": "x", "@language": "de"},
+        },
+        {},
+        [{"http://e.example/p": [{"@value": "x", "@language": "de"}]}],
+    ),
+    (
+        "ts248",
+        "a term-scoped @language is not applied to numbers",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@language": "de"}},
+            "p": 5,
+        },
+        {},
+        [{"http://e.example/p": [{"@value": 5}]}],
+    ),
+    (
+        "ts249",
+        "@type array mixing a term, a compact IRI and an absolute IRI",
+        {
+            "@context": {"ex": "http://e.example/", "T": "http://t.example/T"},
+            "@id": "http://e.example/n",
+            "@type": ["T", "ex:U", "http://v.example/W"],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "@type": ["http://t.example/T", "http://e.example/U", "http://v.example/W"],
+            }
+        ],
+    ),
+    (
+        "ts250",
+        "a @set object's @index is dropped when the set unwraps",
+        {"@context": {"p": "http://e.example/p"}, "p": {"@set": ["a"], "@index": "i"}},
+        {},
+        [{"http://e.example/p": [{"@value": "a"}]}],
+    ),
+    (
+        "ts251",
+        "a node reference (only @id) under a property is NOT dropped",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/n",
+            "p": [{"@id": "http://e.example/other"}],
+        },
+        {},
+        [{"@id": "http://e.example/n", "http://e.example/p": [{"@id": "http://e.example/other"}]}],
+    ),
+    (
+        "ts252",
+        "an embedded graph object keeps @id and @index alongside @graph",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/n",
+            "p": {
+                "@id": "http://e.example/g",
+                "@graph": [{"@id": "http://e.example/m", "http://e.example/q": "v"}],
+                "@index": "gi",
+            },
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://e.example/p": [
+                    {
+                        "@id": "http://e.example/g",
+                        "@index": "gi",
+                        "@graph": [
+                            {
+                                "@id": "http://e.example/m",
+                                "http://e.example/q": [{"@value": "v"}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    ),
+    (
+        "ts253",
+        "colon keys with undefined prefixes stay verbatim whatever the scheme chars",
+        {"@context": {}, "@id": "http://e.example/n", "not+ok:foo": "v", "weird:foo": "w"},
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "not+ok:foo": [{"@value": "v"}],
+                "weird:foo": [{"@value": "w"}],
+            }
+        ],
+    ),
+    (
+        "ts254",
+        "datatype coercion does not touch an explicit value object",
+        {
+            "@context": {"p": {"@id": "http://e.example/p", "@type": "http://t.example/T"}},
+            "p": {"@value": "x"},
+        },
+        {},
+        # value expansion's coercion step applies to scalars; an explicit
+        # value object passes through the map branch untouched
+        [{"http://e.example/p": [{"@value": "x"}]}],
+    ),
+    (
+        "ts255",
+        "a single-string @type normalizes to an array",
+        {"@context": {"T": "http://t.example/T"}, "@id": "http://e.example/n", "@type": "T"},
+        {},
+        [{"@id": "http://e.example/n", "@type": ["http://t.example/T"]}],
+    ),
+    (
+        "ts256",
+        "a mixed array value preserves order and flattens nested arrays in place",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/n",
+            "p": ["s", {"@id": "http://e.example/m"}, {"@value": 5}, ["nested", "deeper"]],
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/n",
+                "http://e.example/p": [
+                    {"@value": "s"},
+                    {"@id": "http://e.example/m"},
+                    {"@value": 5},
+                    {"@value": "nested"},
+                    {"@value": "deeper"},
+                ],
+            }
+        ],
+    ),
+    (
+        "ts257",
+        "a named graph node carries sibling properties alongside @graph",
+        {
+            "@context": {"name": "http://s.example/name"},
+            "@id": "http://e.example/g",
+            "@graph": [{"@id": "http://e.example/n", "name": "x"}],
+            "name": "the graph",
+        },
+        {},
+        [
+            {
+                "@id": "http://e.example/g",
+                "@graph": [
+                    {"@id": "http://e.example/n", "http://s.example/name": [{"@value": "x"}]}
+                ],
+                "http://s.example/name": [{"@value": "the graph"}],
+            }
+        ],
+    ),
+    (
+        "ts258",
+        "null members inside a @list are dropped",
+        {"@context": {"p": "http://e.example/p"}, "p": {"@list": ["a", None, "b"]}},
+        {},
+        [{"http://e.example/p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "ts259",
+        "a relative @type with no vocab mapping resolves document-relative",
+        {
+            "@context": {"p": "http://e.example/p"},
+            "@id": "http://e.example/n",
+            "@type": "T",
+            "p": "v",
+        },
+        {},
+        # IRI expansion for @type values sets document-relative=true; with
+        # no term and no @vocab the base (this test's input IRI dir) applies
+        [
+            {
+                "@id": "http://e.example/n",
+                "@type": ["https://w3c.example/tests/T"],
+                "http://e.example/p": [{"@value": "v"}],
+            }
+        ],
+    ),
+    (
+        "ts260",
+        "a lone '#' resolves to the base plus an empty fragment",
+        {"@context": {"p": {"@id": "http://e.example/p", "@type": "@id"}}, "p": "#"},
+        {"base": _RB},
+        [{"http://e.example/p": [{"@id": "https://site.example/a/b/c#"}]}],
+    ),
+    (
+        "ts261",
+        "expanded input with @reverse survives re-expansion unchanged",
+        [
+            {
+                "@id": "http://e.example/r",
+                "@reverse": {"http://e.example/parent": [{"@id": "http://e.example/k"}]},
+            }
+        ],
+        {},
+        [
+            {
+                "@id": "http://e.example/r",
+                "@reverse": {"http://e.example/parent": [{"@id": "http://e.example/k"}]},
+            }
+        ],
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
