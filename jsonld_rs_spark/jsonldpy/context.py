@@ -99,17 +99,47 @@ class Context:
         Branch order mirrors the reference (creation.rs:189-216): keyword
         passthrough; vocab term lookup; prefix:suffix with blank-node and
         ``//`` guards; ``@vocab`` concatenation; base-IRI resolution.
-        """
-        memoizable = vocab and not document_relative
-        if memoizable:
+
+        Memoization (r6): every vocab=True resolution that ends BEFORE the
+        base-IRI step is base-independent — term lookups, compact IRIs,
+        @vocab concatenation, verbatim colon'd values — so one shared memo
+        serves both document_relative variants (@type values repeat across
+        millions of documents). The base fall-through is never memoized; the
+        memo dict is rebound (not cleared) whenever a term or @vocab changes,
+        so copies sharing it can never see stale entries. A memoized hit for
+        (vocab, docRel=False) is identical for (vocab, docRel=True) because
+        the two only diverge at the unmemoized base step."""
+        if vocab:
             hit = self._vocab_memo.get(value)
             if hit is not None:
                 return hit
-        result = self._expand_iri_uncached(value, document_relative, vocab)
-        if memoizable:
+        if value.startswith("@"):
+            return value
+        if vocab and value in self.terms:
+            result = self.terms[value].iri_mapping
             self._vocab_memo[value] = result
-        return result
+            return result
+        loc = value.find(":")
+        if loc != -1:
+            prefix, suffix = value[:loc], value[loc + 1 :]
+            if prefix == "_" or suffix.startswith("//"):
+                result = value
+            else:
+                term = self.terms.get(prefix)
+                result = term.iri_mapping + suffix if term is not None else value
+            if vocab:
+                self._vocab_memo[value] = result
+            return result
+        if vocab and self.vocabulary_mapping is not None:
+            result = self.vocabulary_mapping + value
+            self._vocab_memo[value] = result
+            return result
+        if document_relative and self.base_iri is not None:
+            return iri.resolve(self.base_iri, value)
+        return value
 
+    # kept as the readable single-pass twin for tests/documentation; the
+    # memoizing expand_iri above inlines the same branch order
     def _expand_iri_uncached(
         self, value: str, document_relative: bool, vocab: bool
     ) -> str:
