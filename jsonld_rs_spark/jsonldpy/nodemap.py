@@ -161,8 +161,6 @@ def _generate_node_map(
     if not isinstance(element, dict):
         raise E.NodeMapError(E.INVALID_OBJECT, repr(element)[:80])
 
-    graph = node_map.setdefault(active_graph, {})
-
     # Relabel blank @type ids; validate @type shape.
     type_data: Any = None
     if "@type" in element:
@@ -211,6 +209,11 @@ def _generate_node_map(
         return
 
     # --- node object ---
+    # the graph entry is only needed from here on; creating it above cost a
+    # setdefault on every @value/@list call too (r6 profile: this walk is
+    # the largest toRDF-stage cost)
+    graph = node_map.setdefault(active_graph, {})
+
     if "@id" in element:
         raw_id = element["@id"]
         if not isinstance(raw_id, str):
@@ -277,12 +280,16 @@ def _generate_node_map(
     if "@graph" in element:
         _generate_node_map(element["@graph"], node_map, node_id, _NONE, None, generator)
 
+    # `node` is stable across the loop: the entity object for (graph,
+    # node_id) is created once above and only ever mutated in place — the
+    # per-property re-lookup the reference does is a borrow-checker
+    # necessity, not semantics
+    node = graph[node_id]
     for prop in sorted(element):
-        if prop.startswith("@"):
+        if prop[:1] == "@":
             continue
         value = element[prop]
         prop_label = _relabel_if_blank(prop, generator)
-        node = node_map[active_graph][node_id]
         if prop_label not in node.data:
             node.data[prop_label] = []
         _generate_node_map(
