@@ -329,7 +329,17 @@ def canonicalize_dataset(
             renamed = list(quads)
         else:
             renamed = [
-                Quad(
+                # reconstruct only quads that touch a blank label — in a
+                # bnode-carrying document most quads are still blank-free,
+                # and the Quad() rebuild was the largest single cost of this
+                # function (r6 profile)
+                q
+                if (
+                    q.subj[:2] != "_:"
+                    and q.pred[:2] != "_:"
+                    and (q.obj_kind != "id" or q.obj_value[:2] != "_:")
+                )
+                else Quad(
                     subj=rename(q.subj),
                     # blank predicates (generalized RDF) aren't canonicalized
                     # by URDNA (not node positions), but when the same label
