@@ -258,18 +258,19 @@ def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> Da
        when few rows matched — the common case, since sameAs nodes are a
        small fraction of all triples) and coalesce.
 
-    row_id is md5 over all 8 columns (NULLs sentinel-coalesced): content-
-    derived, so deterministic under task retry/recompute — unlike
-    monotonically_increasing_id — and 128 bits, so collisions are not a
-    realistic event at any corpus size. Duplicate input rows share a row_id
-    harmlessly: they melt to identical key rows and receive identical
-    replacements."""
+    row_id is md5 over the to_json of all 8 columns: content-derived, so
+    deterministic under task retry/recompute — unlike
+    monotonically_increasing_id — and 128 bits, so hash collisions are not
+    a realistic event at any corpus size. to_json (not concat_ws with a
+    separator) because literal obj_values may contain ANY character: a
+    separator-based encoding is boundary-ambiguous when a value contains
+    the separator, and two distinct rows sharing a row_id would cross-apply
+    each other's rewrites — JSON escaping is injective for a fixed schema
+    (a key is omitted iff its value is null). Duplicate input rows share a
+    row_id harmlessly: they melt to identical key rows and receive
+    identical replacements."""
     comp = components_df
-    rid = F.md5(
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in TRIPLE_COLS]
-        )
-    )
+    rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in TRIPLE_COLS])))
     t = triples_df.withColumn("__rid", rid)
     keys = (
         t.select(

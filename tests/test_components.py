@@ -202,3 +202,20 @@ def test_canonicalize_melt_equals_joinwise(spark):
         new = sorted((tuple(r) for r in canonicalize_subjects(t, comps).collect()), key=key)
         old = sorted((tuple(r) for r in _canonicalize_subjects_joinwise(t, comps).collect()), key=key)
         assert new == old
+
+
+def test_canonicalize_rowid_unambiguous_with_separator_chars(spark):
+    """Regression (r6 review): literal values may contain ANY character, and
+    a separator-based row-id encoding collided two distinct rows whose
+    column boundaries shifted (e.g. subj 's\\x1fx' vs subj 's' + pred
+    'x\\x1fp'), cross-applying one row's rewrite to the other. The to_json
+    row-id is injective; only the row whose subj is actually in the
+    components table may be rewritten."""
+    schema = ("url string, graph string, subj string, pred string, "
+              "obj_kind string, obj_value string, obj_datatype string, obj_lang string")
+    a = ("u", "g", "s\x1fx", "p", "id", "o", None, None)
+    b = ("u", "g", "s", "x\x1fp", "id", "o", None, None)
+    triples = spark.createDataFrame([a, b], schema)
+    comps = spark.createDataFrame([("s", "CANON")], "node string, component string")
+    out = {(r["subj"], r["pred"]) for r in canonicalize_subjects(triples, comps).collect()}
+    assert out == {("s\x1fx", "p"), ("CANON", "x\x1fp")}
