@@ -1420,13 +1420,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_quality_docs": """
             WITH scored AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, text, w,
                 CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS score_en,
                 CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS score_de,
                 CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT) AS score_fr,
                 CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT) AS score_es,
-                n_tokens_d
-              FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p,
+                n_tokens_d,
+                list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                               i -> CASE WHEN i + 1 <= len(w)
+                                         THEN w[i] || ' ' || w[i + 1]
+                                         ELSE w[i] END) AS sh
+              FROM (SELECT doc_id, lang, text, ' ' || text || ' ' AS p,
+                      string_split(text, ' ') AS w,
                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
                         AS n_tokens_d
                     FROM documents)
@@ -1442,7 +1447,16 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_tokens_d AS BIGINT) AS n_tokens,
               round(CAST(score_en AS DOUBLE) / n_tokens_d, 6) AS stop_ratio,
               round(least(1.0, n_tokens_d / 100.0) * 0.7
-                    + (CAST(score_en AS DOUBLE) / n_tokens_d) * 0.3, 6) AS quality
+                    + (CAST(score_en AS DOUBLE) / n_tokens_d) * 0.3, 6) AS quality,
+              round(CAST(list_aggregate(map_values(list_aggregate(w, 'histogram')),
+                                        'max') AS DOUBLE) / len(w), 6)
+                AS top_word_frac,
+              round(CAST(list_aggregate(map_values(list_aggregate(sh, 'histogram')),
+                                        'max') AS DOUBLE) / len(sh), 6)
+                AS top_2gram_frac,
+              round(1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                               AS DOUBLE)
+                        / len(string_split(text, chr(10))), 6) AS dup_line_frac
             FROM scored ORDER BY doc_id
         """,
         "embedding_near_dup_pairs": """

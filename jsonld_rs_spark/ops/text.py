@@ -91,11 +91,79 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.withColumn("lang_guess", guess)
 
 
+def _max_run(arr):
+    """Count of the most frequent element of ``arr``, computed as the
+    longest equal-run of the SORTED array — a single F.aggregate fold, so
+    the whole computation stays inside one projection (no per-document
+    explode/groupBy shuffle, no UDF). The (element == prev) comparison is
+    null-safe by construction: split() never yields nulls."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_cols(text_col=None) -> dict:
+    """Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446,
+    Table A1's repetition filters) as pure column algebra — the standard
+    what-to-drop signals of a web-scale training-data build:
+
+    * ``top_word_frac``  — count of the most frequent word / word count;
+    * ``top_2gram_frac`` — count of the most frequent word 2-gram / 2-gram
+      count (2-grams per ops.dedup._shingles, the corpus-wide shingle rule);
+    * ``dup_line_frac``  — 1 − distinct lines / lines (0.0 on single-line
+      corpora; real crawls have newlines, tests cover them).
+
+    Returned as name → Column so callers fuse them into an existing
+    projection (lang_quality) instead of adding a scan."""
+    text = F.col("text") if text_col is None else text_col
+    words = F.split(text, " ")
+    words_n = F.size(words).cast("double")
+    sh = _shingles_over(text)
+    lines = F.split(text, "\n")
+    return {
+        "top_word_frac": F.round(_max_run(words) / words_n, 6),
+        "top_2gram_frac": F.round(_max_run(sh) / F.size(sh).cast("double"), 6),
+        "dup_line_frac": F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"), 6
+        ),
+    }
+
+
+def _shingles_over(text):
+    """Word 2-shingles over an arbitrary text Column (same rule as
+    ops.dedup._shingles, which is pinned to F.col('text'))."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(words, i.cast("int")),
+            F.try_element_at(words, (i + 1).cast("int")),
+        ),
+    )
+
+
 def lang_quality(docs: DataFrame) -> DataFrame:
-    """Language-ID + quality scoring fused into ONE projection over one
-    scan — consolidated r5 from lang_id + quality_score (the en marker
-    ' the ' doubles as the stopword, so the stop count IS score_en). Same
-    column names as the two parents; still pure column algebra."""
+    """Language-ID + quality scoring + Gopher-style repetition signals fused
+    into ONE projection over one scan — consolidated r5 from lang_id +
+    quality_score (the en marker ' the ' doubles as the stopword, so the
+    stop count IS score_en); r6 adds the repetition columns
+    (top_word_frac / top_2gram_frac / dup_line_frac). Same column names as
+    the parents; still pure column algebra, no shuffle before the sort."""
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     scores = {
         lang: _occurrences(padded, marker).cast("long")
@@ -103,6 +171,7 @@ def lang_quality(docs: DataFrame) -> DataFrame:
     }
     n_tokens_d = token_count_col().cast("double")
     stop_ratio = scores["en"].cast("double") / n_tokens_d
+    rep = repetition_cols()
     return docs.select(
         "doc_id",
         "lang",
@@ -111,6 +180,7 @@ def lang_quality(docs: DataFrame) -> DataFrame:
         token_count_col().alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         quality_col().alias("quality"),
+        *[col.alias(name) for name, col in rep.items()],
     )
 
 

@@ -769,3 +769,49 @@ def test_frame_sample_and_resize_plumbing(docs):
     for r in resized:
         assert max(r["width"], r["height"]) <= 128
         assert 0 < len(bytes(r["payload"])) <= len(src[r["media_id"]][1])
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher-style repetition columns (r6): expected values hand-derived.
+    doc 1: 'a b a a c' -> top word 'a' 3/5; 2-grams [a b, b a, a a, a c]
+    all distinct -> 1/4; single line -> dup_line_frac 0.
+    doc 2: two identical lines + one distinct -> 1 - 2/3; its words
+    'x y\\nx y\\nz' split on ' ' -> ['x', 'y\\nx', 'y\\nz'] all distinct.
+    doc 3: 'w' alone -> 1-word shingle rule gives ['w'] -> 1/1."""
+    from jsonld_rs_spark.ops.text import lang_quality
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b a a c"), (2, "en", "x y\nx y\nz"), (3, "en", "w")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in lang_quality(docs).collect()}
+    assert rows[1]["top_word_frac"] == 0.6
+    assert rows[1]["top_2gram_frac"] == 0.25
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[2]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert rows[3]["top_word_frac"] == 1.0
+    assert rows[3]["top_2gram_frac"] == 1.0
+
+
+def test_repetition_signals_match_python_recount(spark, sf_dir):
+    """Cross-check the fold-based most-frequent-count against a plain
+    Python Counter over the real corpus slice."""
+    from collections import Counter
+
+    from jsonld_rs_spark.ops.text import lang_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in lang_quality(docs).collect()}
+    for d in docs.limit(50).collect():
+        words = d["text"].split(" ")
+        grams = (
+            [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+            if len(words) > 1 else [words[0]]
+        )
+        r = got[d["doc_id"]]
+        assert r["top_word_frac"] == round(
+            Counter(words).most_common(1)[0][1] / len(words), 6
+        ), d["doc_id"]
+        assert r["top_2gram_frac"] == round(
+            Counter(grams).most_common(1)[0][1] / len(grams), 6
+        ), d["doc_id"]
