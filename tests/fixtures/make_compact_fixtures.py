@@ -1643,6 +1643,364 @@ NEGATIVE_CASES = [
 ]
 
 
+
+# ---------------------------------------------------------------------------
+# Round-6 spec-authored cases (continuing VERDICT r5 #3's provenance
+# discipline into the compaction manifest): every expected output below is
+# hand-derived from the JSON-LD 1.0 compaction algorithm (W3C CR 2014 §9:
+# IRI compaction / term selection via the inverse context, value compaction,
+# container reconstruction, the compact-expands-first API rule) and written
+# literally; the generator asserts the implementation reproduces each one.
+# ---------------------------------------------------------------------------
+
+_E = "http://e.example/"
+_XS = "http://www.w3.org/2001/XMLSchema#"
+
+SPEC_CASES += [
+    (
+        "cs017",
+        "a @language container rebuilds the language map (sorted keys)",
+        [{_E + "label": [
+            {"@value": "hi", "@language": "en"},
+            {"@value": "hallo", "@language": "de"},
+        ]}],
+        {"@context": {"label": {"@id": _E + "label", "@container": "@language"}}},
+        {},
+        {
+            "@context": {"label": {"@id": _E + "label", "@container": "@language"}},
+            "label": {"de": "hallo", "en": "hi"},
+        },
+    ),
+    (
+        "cs018",
+        "an @index container rebuilds the index map over value objects",
+        [{_E + "p": [
+            {"@value": "a", "@index": "i1"},
+            {"@value": "b", "@index": "i2"},
+        ]}],
+        {"@context": {"p": {"@id": _E + "p", "@container": "@index"}}},
+        {},
+        {
+            "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
+            "p": {"i1": "a", "i2": "b"},
+        },
+    ),
+    (
+        "cs019",
+        "a language-matching term is selected over the plain term",
+        [{_E + "p": [{"@value": "hi", "@language": "en"}]}],
+        {"@context": {
+            "p_en": {"@id": _E + "p", "@language": "en"},
+            "p_plain": {"@id": _E + "p"},
+        }},
+        {},
+        {
+            "@context": {
+                "p_en": {"@id": _E + "p", "@language": "en"},
+                "p_plain": {"@id": _E + "p"},
+            },
+            "p_en": "hi",
+        },
+    ),
+    (
+        "cs020",
+        "the shortest compact-IRI candidate wins",
+        [{"http://long.example/ns/term": [{"@value": 1}]}],
+        {"@context": {"a": "http://long.example/ns/", "bb": "http://long.example/"}},
+        {},
+        {
+            "@context": {"a": "http://long.example/ns/", "bb": "http://long.example/"},
+            "a:term": 1,
+        },
+    ),
+    (
+        "cs021",
+        "a vocab-relative key beats a longer compact IRI",
+        [{_E + "thing": [{"@value": 1}]}],
+        {"@context": {"@vocab": _E, "ex": _E}},
+        {},
+        {"@context": {"@vocab": _E, "ex": _E}, "thing": 1},
+    ),
+    (
+        "cs022",
+        "an empty list compacts onto a @list-container term",
+        [{_E + "p": [{"@list": []}]}],
+        {"@context": {"lst": {"@id": _E + "p", "@container": "@list"}}},
+        {},
+        {"@context": {"lst": {"@id": _E + "p", "@container": "@list"}}, "lst": []},
+    ),
+    (
+        "cs023",
+        "@reverse entries no term absorbs stay under @reverse, compacted inside",
+        [{"@id": _E + "r", "@reverse": {
+            _E + "parent": [{"@id": _E + "k"}],
+            _E + "other": [{"@id": _E + "o"}],
+        }}],
+        {"@context": {"kids": {"@reverse": _E + "parent"}}},
+        {},
+        {
+            "@context": {"kids": {"@reverse": _E + "parent"}},
+            "@id": _E + "r",
+            "kids": {"@id": _E + "k"},
+            "@reverse": {_E + "other": {"@id": _E + "o"}},
+        },
+    ),
+    (
+        "cs024",
+        "a value object keeps its @index in expanded object form",
+        [{_E + "p": [{"@value": "x", "@index": "i"}]}],
+        {"@context": {"p": _E + "p"}},
+        {},
+        {"@context": {"p": _E + "p"}, "p": {"@value": "x", "@index": "i"}},
+    ),
+    (
+        "cs025",
+        "compactArrays false wraps even a single top-level node in @graph",
+        [{_E + "p": [{"@value": "a", "@index": "i1"}]}],
+        {"@context": {"p": {"@id": _E + "p", "@container": "@index"}}},
+        {"compactArrays": False},
+        {
+            "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
+            "@graph": [{"p": {"i1": "a"}}],
+        },
+    ),
+    (
+        "cs026",
+        "@value and @type aliases key the compacted value object",
+        [{_E + "p": [{"@value": "x", "@type": _E + "T"}]}],
+        {"@context": {"p": _E + "p", "val": "@value", "typ": "@type"}},
+        {},
+        {
+            "@context": {"p": _E + "p", "val": "@value", "typ": "@type"},
+            "p": {"val": "x", "typ": _E + "T"},
+        },
+    ),
+    (
+        "cs027",
+        "a @list term with @language compacts matching tagged items bare",
+        [{_E + "p": [{"@list": [{"@value": "a", "@language": "en"}]}]}],
+        {"@context": {"lst": {"@id": _E + "p", "@container": "@list", "@language": "en"}}},
+        {},
+        {
+            "@context": {
+                "lst": {"@id": _E + "p", "@container": "@list", "@language": "en"}
+            },
+            "lst": ["a"],
+        },
+    ),
+    (
+        "cs028",
+        "an uncoerced node reference stays an @id object",
+        [{_E + "p": [{"@id": _E + "y"}]}],
+        {"@context": {"p": _E + "p"}},
+        {},
+        {"@context": {"p": _E + "p"}, "p": {"@id": _E + "y"}},
+    ),
+    (
+        "cs029",
+        "a named graph keeps @id beside the compacted @graph array",
+        [{"@id": _E + "g", "@graph": [
+            {"@id": _E + "n", "http://e.example/q": [{"@value": 1}]}
+        ]}],
+        {"@context": {"q": _E + "q"}},
+        {},
+        {
+            "@context": {"q": _E + "q"},
+            "@id": _E + "g",
+            "@graph": [{"@id": _E + "n", "q": 1}],
+        },
+    ),
+    (
+        "cs030",
+        "a single @type compacts bare under its keyword alias",
+        [{"@id": _E + "x", "@type": [_E + "T"]}],
+        {"@context": {"type": "@type"}},
+        {},
+        {"@context": {"type": "@type"}, "@id": _E + "x", "type": _E + "T"},
+    ),
+    (
+        "cs031",
+        "an index map groups same-index node objects into one array entry",
+        [{_E + "p": [
+            {"@id": _E + "n1", "@index": "i1"},
+            {"@id": _E + "n2", "@index": "i1"},
+        ]}],
+        {"@context": {"p": {"@id": _E + "p", "@container": "@index"}}},
+        {},
+        {
+            "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
+            "p": {"i1": [{"@id": _E + "n1"}, {"@id": _E + "n2"}]},
+        },
+    ),
+    (
+        "cs032",
+        "a reverse term with @container @set keeps its array",
+        [{"@id": _E + "r", "@reverse": {_E + "parent": [{"@id": _E + "k"}]}}],
+        {"@context": {"kids": {"@reverse": _E + "parent", "@container": "@set"}}},
+        {},
+        {
+            "@context": {"kids": {"@reverse": _E + "parent", "@container": "@set"}},
+            "@id": _E + "r",
+            "kids": [{"@id": _E + "k"}],
+        },
+    ),
+    (
+        "cs033",
+        "a value matching the default @language compacts bare",
+        [{_E + "p": [{"@value": "hi", "@language": "en"}]}],
+        {"@context": {"@language": "en", "p": _E + "p"}},
+        {},
+        {"@context": {"@language": "en", "p": _E + "p"}, "p": "hi"},
+    ),
+    (
+        "cs034",
+        "a value mismatching the default @language stays an object",
+        [{_E + "p": [{"@value": "hallo", "@language": "de"}]}],
+        {"@context": {"@language": "en", "p": _E + "p"}},
+        {},
+        {
+            "@context": {"@language": "en", "p": _E + "p"},
+            "p": {"@value": "hallo", "@language": "de"},
+        },
+    ),
+    (
+        "cs035",
+        "a number compacts bare regardless of the default @language",
+        [{_E + "p": [{"@value": 5}]}],
+        {"@context": {"@language": "en", "p": _E + "p"}},
+        {},
+        {"@context": {"@language": "en", "p": _E + "p"}, "p": 5},
+    ),
+    (
+        "cs036",
+        "a @language null term captures untagged strings under a default language",
+        [{_E + "p": [{"@value": "plain"}]}],
+        {"@context": {"@language": "en", "pn": {"@id": _E + "p", "@language": None}}},
+        {},
+        {
+            "@context": {"@language": "en", "pn": {"@id": _E + "p", "@language": None}},
+            "pn": "plain",
+        },
+    ),
+    (
+        "cs037",
+        "multiple top-level nodes wrap under a @graph ALIAS",
+        [
+            {"@id": _E + "a", "http://e.example/q": [{"@value": 1}]},
+            {"@id": _E + "b", "http://e.example/q": [{"@value": 2}]},
+        ],
+        {"@context": {"g": "@graph", "q": _E + "q"}},
+        {},
+        {
+            "@context": {"g": "@graph", "q": _E + "q"},
+            "g": [{"@id": _E + "a", "q": 1}, {"@id": _E + "b", "q": 2}],
+        },
+    ),
+    (
+        "cs038",
+        "a compact-IRI suffix may contain slashes",
+        [{"http://long.example/ns/a/b": [{"@value": 1}]}],
+        {"@context": {"nx": "http://long.example/ns/"}},
+        {},
+        {"@context": {"nx": "http://long.example/ns/"}, "nx:a/b": 1},
+    ),
+    (
+        "cs039",
+        "a type-mismatching value rejects the coercing term (IRI key, object value)",
+        [{_E + "p": [{"@value": "x", "@type": _E + "T"}]}],
+        {"@context": {"p": {"@id": _E + "p", "@type": _XS + "integer"}}},
+        {},
+        {
+            "@context": {"p": {"@id": _E + "p", "@type": _XS + "integer"}},
+            "http://e.example/p": {"@value": "x", "@type": _E + "T"},
+        },
+    ),
+    (
+        "cs040",
+        "blank node identifiers pass through compaction on both positions",
+        [{"@id": "_:b0", "http://e.example/q": [{"@id": "_:b1"}]}],
+        {"@context": {"q": {"@id": _E + "q", "@type": "@id"}}},
+        {},
+        {
+            "@context": {"q": {"@id": _E + "q", "@type": "@id"}},
+            "@id": "_:b0",
+            "q": "_:b1",
+        },
+    ),
+    (
+        "cs041",
+        "a value without @index rejects the @index-container term",
+        [{_E + "p": [{"@value": "noidx"}]}],
+        {"@context": {"p": {"@id": _E + "p", "@container": "@index"}}},
+        {},
+        {
+            "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
+            "http://e.example/p": "noidx",
+        },
+    ),
+    (
+        "cs042",
+        "an empty expanded document compacts to the bare context",
+        [],
+        {"@context": {"p": _E + "p"}},
+        {},
+        {"@context": {"p": _E + "p"}},
+    ),
+    (
+        "cs043",
+        "@type @id coercion reaches inside an absorbed @reverse entry",
+        [{"@id": _E + "r", "@reverse": {_E + "parent": [{"@id": _E + "k"}]}}],
+        {"@context": {"kids": {"@reverse": _E + "parent", "@type": "@id"}}},
+        {},
+        {
+            "@context": {"kids": {"@reverse": _E + "parent", "@type": "@id"}},
+            "@id": _E + "r",
+            "kids": _E + "k",
+        },
+    ),
+    (
+        "cs044",
+        "a datatype-matching term compacts the typed value to a bare string",
+        [{_E + "p": [{"@value": "5", "@type": _XS + "integer"}]}],
+        {"@context": {"five": {"@id": _E + "p", "@type": _XS + "integer"}}},
+        {},
+        {
+            "@context": {"five": {"@id": _E + "p", "@type": _XS + "integer"}},
+            "five": "5",
+        },
+    ),
+    (
+        "cs045",
+        "compact-expands-first: a lone-@id top node is dropped before wrapping",
+        [
+            {"@id": _E + "a", "http://e.example/q": [{"@value": 1}]},
+            {"@id": _E + "b"},
+        ],
+        {"@context": {"q": _E + "q"}},
+        {},
+        # expansion (api.rs: compact expands its input first) drops the
+        # free-floating lone-@id node; one node remains, so no @graph wrap
+        {"@context": {"q": _E + "q"}, "@id": _E + "a", "q": 1},
+    ),
+    (
+        "cs046",
+        "an index-mapped list object KEEPS @index inside (1.0 rule)",
+        [{_E + "p": [{"@list": [{"@value": "a"}], "@index": "i1"}]}],
+        {"@context": {"p": {"@id": _E + "p", "@container": "@index"}}},
+        {},
+        # JSON-LD 1.0 §9 step 7.6.4.3 adds @index to a converted list object
+        # UNCONDITIONALLY (the "unless container is @index" exception is a
+        # 1.1 addition); the reference (compact.rs:538-548) matches 1.0.
+        # First authored draft used the 1.1 rule — authoring error caught by
+        # the generation-time assert, not an implementation bug.
+        {
+            "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
+            "p": {"i1": {"@list": ["a"], "@index": "i1"}},
+        },
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
