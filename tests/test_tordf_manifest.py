@@ -49,9 +49,9 @@ ROUNDTRIP_LOSSY = {
             "#t0019", "#t0022", "#t0031", "#t0032", "#t0033", "#t0038",
             "#t0053", "#t0054", "#t0055", "#t0059", "#t0078", "#t0080",
             "#t0081", "#t0087", "#t0096", "#t0097", "#t0105",
-            # round-5 spec-authored graph cases whose labels carry no
+            # round-5/6 spec-authored graph cases whose labels carry no
             # default-graph triples
-            "#tr023", "#tr024", "#tr029", "#tr031",
+            "#tr023", "#tr024", "#tr029", "#tr031", "#tr054", "#tr059",
         )
     },
     # (c) a relative IRI re-resolves against the test base on re-expansion
