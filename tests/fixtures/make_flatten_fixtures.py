@@ -556,6 +556,135 @@ SPEC_CASES = [
 ]
 
 
+
+# ---------------------------------------------------------------------------
+# Round-6 spec-authored cases: expected outputs hand-derived from the
+# JSON-LD 1.0 flattening algorithm (node-map generation §8.3 + into_json
+# ordering), including the reference's documented quirks (node references
+# deliberately NOT deduped, nodemap.rs:460; value dedup only on identical
+# value objects). Asserted at generation time.
+# ---------------------------------------------------------------------------
+
+_E = "http://e/"
+
+SPEC_CASES += [
+    (
+        "fs011",
+        "a hoisted node keeps its @index",
+        {"@id": _E + "s", _E + "p": {"@id": _E + "n", "@index": "i", _E + "q": "w"}},
+        [
+            {"@id": _E + "n", "@index": "i", _E + "q": [{"@value": "w"}]},
+            {"@id": _E + "s", _E + "p": [{"@id": _E + "n"}]},
+        ],
+    ),
+    (
+        "fs012",
+        "plain and typed forms of one lexical stay distinct values",
+        {"@id": _E + "s", _E + "p": [{"@value": "x"}, {"@value": "x", "@type": "http://t/T"}]},
+        [
+            {
+                "@id": _E + "s",
+                _E + "p": [{"@value": "x"}, {"@value": "x", "@type": "http://t/T"}],
+            }
+        ],
+    ),
+    (
+        "fs013",
+        "named graphs are dataset-level: an inner graph node hoists to the top",
+        # h is a subject in graph g (propertyless there, so g's graph is
+        # empty but preserved); h's own named graph is a top-level entry —
+        # graph names live at the dataset level, they never nest
+        {"@id": _E + "g", "@graph": [
+            {"@id": _E + "h", "@graph": [{"@id": _E + "n", _E + "p": "v"}]}
+        ]},
+        [
+            {"@id": _E + "g", "@graph": []},
+            {
+                "@id": _E + "h",
+                "@graph": [{"@id": _E + "n", _E + "p": [{"@value": "v"}]}],
+            },
+        ],
+    ),
+    (
+        "fs014",
+        "a chained @reverse flattens to two forward edges; the propertyless root drops",
+        {"@id": _E + "a", "@reverse": {
+            _E + "p": {"@id": _E + "b", "@reverse": {_E + "q": {"@id": _E + "c"}}}
+        }},
+        [
+            {"@id": _E + "b", _E + "p": [{"@id": _E + "a"}]},
+            {"@id": _E + "c", _E + "q": [{"@id": _E + "b"}]},
+        ],
+    ),
+    (
+        "fs015",
+        "a blank node shared by two parents relabels once (memoized)",
+        {_E + "p": [
+            {"@id": _E + "x", _E + "q": {"@id": "_:n"}},
+            {"@id": _E + "y", _E + "q": {"@id": "_:n"}},
+        ]},
+        [
+            {"@id": "_:b0", _E + "p": [{"@id": _E + "x"}, {"@id": _E + "y"}]},
+            {"@id": _E + "x", _E + "q": [{"@id": "_:b1"}]},
+            {"@id": _E + "y", _E + "q": [{"@id": "_:b1"}]},
+        ],
+    ),
+    (
+        "fs016",
+        "anonymous list items hoist as nodes; the list keeps references",
+        {"@id": _E + "s", _E + "p": {"@list": [{_E + "q": "v1"}, {_E + "q": "v2"}]}},
+        [
+            {"@id": "_:b0", _E + "q": [{"@value": "v1"}]},
+            {"@id": "_:b1", _E + "q": [{"@value": "v2"}]},
+            {
+                "@id": _E + "s",
+                _E + "p": [{"@list": [{"@id": "_:b0"}, {"@id": "_:b1"}]}],
+            },
+        ],
+    ),
+    (
+        "fs017",
+        "duplicate node references are NOT deduped (reference quirk)",
+        # nodemap.rs:460 deliberately skips dedup for node references, unlike
+        # value objects — preserved as a documented observable quirk
+        {"@id": _E + "s", _E + "p": [{"@id": _E + "n"}, {"@id": _E + "n"}],
+         _E + "q": "keep"},
+        [
+            {
+                "@id": _E + "s",
+                _E + "p": [{"@id": _E + "n"}, {"@id": _E + "n"}],
+                _E + "q": [{"@value": "keep"}],
+            }
+        ],
+    ),
+    (
+        "fs018",
+        "a blank @type relabels through the node-map generator",
+        {"@id": _E + "s", "@type": "_:T", _E + "p": "v"},
+        [{"@id": _E + "s", "@type": ["_:b0"], _E + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "fs019",
+        "an empty document flattens to an empty array",
+        [],
+        [],
+    ),
+    (
+        "fs020",
+        "a graph label with its own default-graph properties keeps both roles",
+        {"@id": _E + "g", _E + "p": "v",
+         "@graph": [{"@id": _E + "n", _E + "q": "w"}]},
+        [
+            {
+                "@id": _E + "g",
+                "@graph": [{"@id": _E + "n", _E + "q": [{"@value": "w"}]}],
+                _E + "p": [{"@value": "v"}],
+            }
+        ],
+    ),
+]
+
+
 def main() -> None:
     os.makedirs(HERE, exist_ok=True)
     sequence = []
