@@ -236,6 +236,59 @@ def minhash_dup_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental dedup: candidate near-dup pairs between a NEW batch and
+    an EXISTING corpus whose banded signatures are already materialized —
+    the production shape for a growing corpus, where re-shingling 100 TB to
+    admit a 0.1 TB daily batch would dominate the pipeline.
+
+    ``corpus_sigs`` is a ``minhash_signatures`` output (doc_id, sig0..sigN)
+    read back from storage. Only the new batch is shingled/hashed; the join
+    key is (band, sig), so the corpus side can be pre-bucketed/partitioned
+    on it at write time and the join prunes to matching buckets. The
+    degenerate-bucket cap applies to the CORPUS side (a boilerplate
+    signature shared by millions of stored docs would otherwise fan every
+    matching new doc into O(|bucket|) pairs); capped buckets are the same
+    ones ``minhash_degenerate_buckets`` reports for the corpus. New-vs-new
+    duplicates are NOT this operator's job — run ``minhash_dup_pairs`` on
+    the batch (cheap: the batch is small) and union.
+
+    Returns (new_doc_id, corpus_doc_id) distinct candidate pairs."""
+    new_exploded = _exploded_band_sigs(new_docs, bands)
+    corpus_exploded = corpus_sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(F.col("doc_id").alias("corpus_doc_id"), "bs.band", "bs.sig")
+    if max_bucket > 0:
+        oversized = (
+            corpus_exploded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .select("band", "sig")
+        )
+        corpus_exploded = corpus_exploded.join(
+            F.broadcast(oversized), ["band", "sig"], "left_anti"
+        )
+    return (
+        new_exploded.select(F.col("doc_id").alias("new_doc_id"), "band", "sig")
+        .join(corpus_exploded, ["band", "sig"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
 def _word_bit(word_col, bit: int):
     """Deterministic hash bit shared with DuckDB: parity of the ASCII code of
     the (bit+1)-th hex char of md5(word)."""

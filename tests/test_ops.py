@@ -815,3 +815,65 @@ def test_repetition_signals_match_python_recount(spark, sf_dir):
         assert r["top_2gram_frac"] == round(
             Counter(grams).most_common(1)[0][1] / len(grams), 6
         ), d["doc_id"]
+
+
+def test_minhash_incremental_matches_full_recompute(spark, sf_dir):
+    """Incremental dedup (r6): new-batch-vs-corpus candidate pairs from the
+    stored signature table must equal the cross-partition slice of a full
+    recompute over the union — signatures are a pure per-document function,
+    so the incremental join loses nothing."""
+    from jsonld_rs_spark.ops.dedup import (
+        minhash_dup_pairs,
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    corpus_sigs = minhash_signatures(corpus).localCheckpoint()
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in minhash_incremental_pairs(batch, corpus_sigs).collect()
+    }
+
+    full = minhash_dup_pairs(docs, max_bucket=0).collect()
+    want = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):  # exactly one side in the batch
+            new_id, corp_id = (a, b) if a % 5 == 0 else (b, a)
+            want.add((new_id, corp_id))
+    assert got == want and len(got) > 0
+
+
+def test_minhash_incremental_caps_corpus_buckets(spark):
+    """A boilerplate signature shared by an over-cap corpus slice must be
+    excluded (same guardrail as minhash_dup_pairs), not fan out."""
+    from jsonld_rs_spark.ops.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "exact same boilerplate text") for i in range(12)]
+    uniq = [(100 + i, f"unique doc number {i} talks about topic {i}") for i in range(3)]
+    corpus = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "exact same boilerplate text"),
+         (1001, "unique doc number 1 talks about topic 1")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(corpus).localCheckpoint()
+    pairs = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in minhash_incremental_pairs(batch, sigs, max_bucket=10).collect()
+    }
+    # the boilerplate bucket (12 > 10) is capped out; the unique match stays
+    assert (1001, 101) in pairs
+    assert not any(c < 100 for _, c in pairs)
+    uncapped = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in minhash_incremental_pairs(batch, sigs, max_bucket=0).collect()
+    }
+    assert sum(1 for _, c in uncapped if c < 100) == 12
