@@ -138,8 +138,10 @@ class Context:
             return iri.resolve(self.base_iri, value)
         return value
 
-    # kept as the readable single-pass twin for tests/documentation; the
-    # memoizing expand_iri above inlines the same branch order
+    # the readable single-pass twin of expand_iri's memoizing inline; its
+    # only caller is tests/test_api.py::test_expand_iri_memo_parity, which
+    # pins the two against each other across every branch × memo-state
+    # combination so an edit to one copy cannot silently diverge
     def _expand_iri_uncached(
         self, value: str, document_relative: bool, vocab: bool
     ) -> str:

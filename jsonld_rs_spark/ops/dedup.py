@@ -53,8 +53,10 @@ def _shingles(col="text", k: int = 2):
     the whole operator stays JVM-side. ``try_element_at``: under ANSI mode
     (Spark 4 default) a plain element_at past the end of a <k-word document
     throws; out-of-range words are skipped by concat_ws instead, so a
-    1-word doc shingles to [word]."""
-    words = F.split(F.col(col), " ")
+    1-word doc shingles to [word]. ``col`` may be a column name or a Column
+    (ops.text's repetition signals reuse THIS rule so top_2gram_frac stays
+    in lockstep with the corpus-wide shingle definition)."""
+    words = F.split(F.col(col) if isinstance(col, str) else col, " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(
@@ -100,18 +102,10 @@ def minhash_signatures(
     return shingled.select("doc_id", *cols)
 
 
-def _exploded_band_sigs(
-    docs: DataFrame, bands: int, shingled: DataFrame = None
-) -> DataFrame:
-    """(doc_id, band, sig) rows — the LSH shuffle key table. Signatures are
-    checkpointed LAZILY: the first consumer materializes them, later
-    consumers (the degenerate-bucket pre-count and the pair aggregate both
-    read this) reuse the materialized rows instead of recomputing
-    shingling+hashing — at warehouse scale this is "write the signature
-    table once, then read it twice"."""
-    sigs = minhash_signatures(docs, bands, shingled=shingled).localCheckpoint(
-        eager=False
-    )
+def _explode_sig_columns(sigs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, sig0..sigN) wide signatures → (doc_id, band, sig) rows —
+    the LSH shuffle-key layout, shared by the full-recompute path and the
+    incremental path so a banding change lands in exactly one place."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -125,16 +119,11 @@ def _exploded_band_sigs(
     ).select("doc_id", "bs.band", "bs.sig")
 
 
-def _kept_exploded(
-    docs: DataFrame,
-    bands: int,
-    max_bucket: int,
-    shingled: DataFrame = None,
-) -> DataFrame:
-    """Exploded (doc_id, band, sig) rows with over-cap buckets anti-joined
-    out — the shared front half of minhash_dup_pairs and dup_clusters.
-    ``max_bucket<=0`` disables the cap (all rows kept)."""
-    exploded = _exploded_band_sigs(docs, bands, shingled=shingled)
+def _anti_join_oversized(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """Anti-join over-cap (band, sig) buckets out of an exploded table.
+    ``max_bucket<=0`` disables the cap. The build side is broadcast on the
+    assumption that over-cap signatures are rare (see minhash_dup_pairs's
+    honest-costs note)."""
     if max_bucket <= 0:
         return exploded
     oversized = (
@@ -144,6 +133,35 @@ def _kept_exploded(
         .select("band", "sig")
     )
     return exploded.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+
+
+def _exploded_band_sigs(
+    docs: DataFrame, bands: int, shingled: DataFrame = None
+) -> DataFrame:
+    """(doc_id, band, sig) rows — the LSH shuffle key table. Signatures are
+    checkpointed LAZILY: the first consumer materializes them, later
+    consumers (the degenerate-bucket pre-count and the pair aggregate both
+    read this) reuse the materialized rows instead of recomputing
+    shingling+hashing — at warehouse scale this is "write the signature
+    table once, then read it twice"."""
+    sigs = minhash_signatures(docs, bands, shingled=shingled).localCheckpoint(
+        eager=False
+    )
+    return _explode_sig_columns(sigs, bands)
+
+
+def _kept_exploded(
+    docs: DataFrame,
+    bands: int,
+    max_bucket: int,
+    shingled: DataFrame = None,
+) -> DataFrame:
+    """Exploded (doc_id, band, sig) rows with over-cap buckets anti-joined
+    out — the shared front half of minhash_dup_pairs and dup_clusters.
+    ``max_bucket<=0`` disables the cap (all rows kept)."""
+    return _anti_join_oversized(
+        _exploded_band_sigs(docs, bands, shingled=shingled), max_bucket
+    )
 
 
 def minhash_degenerate_buckets(
@@ -258,32 +276,19 @@ def minhash_incremental_pairs(
     duplicates are NOT this operator's job — run ``minhash_dup_pairs`` on
     the batch (cheap: the batch is small) and union.
 
-    Returns (new_doc_id, corpus_doc_id) distinct candidate pairs."""
+    Returns (new_doc_id, corpus_doc_id) distinct candidate pairs; a doc_id
+    present on BOTH sides (a re-crawled page keeping its stable id) never
+    pairs with itself — its bands trivially match its own stored
+    signatures, and a downstream keep-one-per-pair policy would otherwise
+    drop the document as a duplicate of itself (review r6)."""
     new_exploded = _exploded_band_sigs(new_docs, bands)
-    corpus_exploded = corpus_sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(F.col("doc_id").alias("corpus_doc_id"), "bs.band", "bs.sig")
-    if max_bucket > 0:
-        oversized = (
-            corpus_exploded.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") > max_bucket)
-            .select("band", "sig")
-        )
-        corpus_exploded = corpus_exploded.join(
-            F.broadcast(oversized), ["band", "sig"], "left_anti"
-        )
+    corpus_exploded = _anti_join_oversized(
+        _explode_sig_columns(corpus_sigs, bands), max_bucket
+    ).select(F.col("doc_id").alias("corpus_doc_id"), "band", "sig")
     return (
         new_exploded.select(F.col("doc_id").alias("new_doc_id"), "band", "sig")
         .join(corpus_exploded, ["band", "sig"])
+        .filter(F.col("new_doc_id") != F.col("corpus_doc_id"))
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
     )

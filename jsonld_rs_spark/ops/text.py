@@ -127,10 +127,12 @@ def repetition_cols(text_col=None) -> dict:
 
     Returned as name → Column so callers fuse them into an existing
     projection (lang_quality) instead of adding a scan."""
+    from .dedup import _shingles
+
     text = F.col("text") if text_col is None else text_col
     words = F.split(text, " ")
     words_n = F.size(words).cast("double")
-    sh = _shingles_over(text)
+    sh = _shingles(text, k=2)
     lines = F.split(text, "\n")
     return {
         "top_word_frac": F.round(_max_run(words) / words_n, 6),
@@ -139,22 +141,6 @@ def repetition_cols(text_col=None) -> dict:
             1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"), 6
         ),
     }
-
-
-def _shingles_over(text):
-    """Word 2-shingles over an arbitrary text Column (same rule as
-    ops.dedup._shingles, which is pinned to F.col('text'))."""
-    words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(words, i.cast("int")),
-            F.try_element_at(words, (i + 1).cast("int")),
-        ),
-    )
 
 
 def lang_quality(docs: DataFrame) -> DataFrame:

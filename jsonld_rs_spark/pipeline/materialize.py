@@ -221,7 +221,13 @@ def replay_quarantined(
 
     records_path = os.path.join(out_dir, "records")
     run_id = run_id or uuid.uuid4().hex[:12]
-    before = quarantined(spark.read.parquet(records_path))
+    # counts are over distinct (url, block_index) — quarantined() may list
+    # one block under two error codes when a replay re-failed it with a
+    # different error, and counting rows would inflate replayed/still and
+    # could push healed below zero (review r6)
+    before = quarantined(spark.read.parquet(records_path)).select(
+        "url", "block_index"
+    ).distinct()
     todo = before.groupBy("url").agg(
         F.collect_set("block_index").alias("replay_blocks")
     )
@@ -238,7 +244,12 @@ def replay_quarantined(
     write_manifest(spark, out_dir, "replay", run_id, "records_done")
 
     _rebuild_outputs(spark, out_dir, buckets)
-    still = quarantined(spark.read.parquet(records_path)).count()
+    still = (
+        quarantined(spark.read.parquet(records_path))
+        .select("url", "block_index")
+        .distinct()
+        .count()
+    )
     write_manifest(
         spark, out_dir, "replay", run_id, "done",
         {"replayed": n_todo, "still_quarantined": still},

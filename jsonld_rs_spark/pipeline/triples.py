@@ -331,13 +331,22 @@ def extract_replay_records(pages_with_blocks_df, store: Optional[Dict[str, Any]]
                 for bi in sorted(int(b) for b in blocks):
                     n_calls += 1
                     q_before = len(quarantine)
+                    blocks_before = counters["blocks"]
                     doc_rows = doc_to_quad_rows(
                         url, bytes(html), local_store, counters, context_cache,
                         quarantine, allowed_blocks={bi},
                     )
                     for row in doc_rows:
                         out.append(("t",) + row + (None,))
-                    if len(quarantine) == q_before:
+                    # a block index past the page's current block count was
+                    # never ATTEMPTED (the html may have been re-fetched
+                    # shorter) — counters['blocks'] only counts attempted
+                    # blocks, so a zero delta means no extraction happened
+                    # and the poison row must NOT be marked resolved
+                    # (review r6): emitting 'r' here would silently clear a
+                    # row that was never re-driven.
+                    attempted = counters["blocks"] - blocks_before
+                    if attempted > 0 and len(quarantine) == q_before:
                         out.append(
                             ("r", url, None, None, None, None, None, None, None,
                              json.dumps({"block_index": bi}))

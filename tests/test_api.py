@@ -52,3 +52,39 @@ def test_expansion_idempotent_on_pipeline_corpus():
             assert twice == once, doc_id
             checked += 1
     assert checked > 60
+
+
+def test_expand_iri_memo_parity():
+    """The memoizing expand_iri must agree with its readable single-pass
+    twin (_expand_iri_uncached) on every branch: keyword, term, compact
+    IRI (defined/undefined prefix, blank, //-suffix), @vocab fallback,
+    base resolution, plain fall-through — both cold and after the memo is
+    warm, and across a context copy sharing the memo (review r6: the twin
+    existed without the parity test its comment promised)."""
+    from jsonld_rs_spark.jsonldpy.context import Context
+
+    ctx = Context(base_iri="https://b.example/dir/doc")
+    ctx.process_context(
+        {
+            "@vocab": "http://v.example/",
+            "term": "http://t.example/term",
+            "ex": "http://e.example/",
+        },
+        {},
+        lambda url: (_ for _ in ()).throw(AssertionError(url)),
+    )
+    values = [
+        "@type", "term", "ex:suffix", "ex:", "nope:suffix", "_:b0",
+        "ex://odd", "plain", "rel/path", "", "#frag", "?q",
+        "http://abs.example/x", "term:suffix",
+    ]
+    for rounds in range(2):  # cold, then memo-warm
+        for v in values:
+            for dr in (False, True):
+                for vocab in (False, True):
+                    assert ctx.expand_iri(v, dr, vocab) == ctx._expand_iri_uncached(
+                        v, dr, vocab
+                    ), (rounds, v, dr, vocab)
+    copy = ctx.copy()  # shares the memo dict
+    for v in values:
+        assert copy.expand_iri(v, True, True) == copy._expand_iri_uncached(v, True, True)

@@ -877,3 +877,18 @@ def test_minhash_incremental_caps_corpus_buckets(spark):
         for r in minhash_incremental_pairs(batch, sigs, max_bucket=0).collect()
     }
     assert sum(1 for _, c in uncapped if c < 100) == 12
+
+
+def test_minhash_incremental_never_self_pairs(spark):
+    """Review r6: a re-crawled doc keeping its stable id exists on both
+    sides; its bands trivially match its own stored signatures and must not
+    emit an (X, X) pair that a keep-one policy would treat as a dup."""
+    from jsonld_rs_spark.ops.dedup import minhash_incremental_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "stable doc kept across crawls"), (2, "another unrelated text")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs).localCheckpoint()
+    pairs = minhash_incremental_pairs(docs, sigs).collect()
+    assert all(r["new_doc_id"] != r["corpus_doc_id"] for r in pairs)

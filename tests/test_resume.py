@@ -261,3 +261,38 @@ def test_quarantine_replay_contains_still_bad_blocks(spark, tmp_path_factory):
     assert res == {"replayed_blocks": 2, "healed_blocks": 1, "still_quarantined": 1}
     left = quarantined(spark.read.parquet(f"{out}/records")).collect()
     assert len(left) == 1 and left[0]["url"] == "http://pg.example/2"
+
+
+def test_quarantine_replay_shortened_page_stays_quarantined(spark, tmp_path_factory):
+    """Review r6: a poison row whose block index no longer exists in the
+    (re-fetched, shorter) page was marked resolved without being re-driven.
+    It must stay quarantined — only an ATTEMPTED clean extraction heals."""
+    import json as _json
+
+    from jsonld_rs_spark.pipeline.materialize import replay_quarantined
+    from jsonld_rs_spark.pipeline.triples import quarantined
+
+    good = {"@context": {"@vocab": "http://s.example/"}, "@id": "http://e/ok", "name": "fine"}
+    poisoned = {"@context": "https://missing.example/ctx", "@id": "http://e/p2"}
+
+    def page(url, *docs):
+        html = "".join(
+            f'<script type="application/ld+json">{_json.dumps(d)}</script>'
+            for d in docs
+        )
+        return (url, html.encode())
+
+    out = str(tmp_path_factory.mktemp("replay_short"))
+    extract_and_materialize(
+        spark.createDataFrame([page("http://pg.example/1", good, poisoned)],
+                              "url string, html binary"),
+        out, run_id="main",
+    )
+    assert quarantined(spark.read.parquet(f"{out}/records")).count() == 1
+
+    # the re-fetched page now has only the good block: index 1 is gone
+    shorter = spark.createDataFrame([page("http://pg.example/1", good)],
+                                    "url string, html binary")
+    res = replay_quarantined(spark, out, shorter, run_id="short")
+    assert res == {"replayed_blocks": 1, "healed_blocks": 0, "still_quarantined": 1}
+    assert quarantined(spark.read.parquet(f"{out}/records")).count() == 1
