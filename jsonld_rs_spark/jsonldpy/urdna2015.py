@@ -283,12 +283,54 @@ class _Canonicalizer:
                 temp_issuer = IdentifierIssuer("_:b")
                 temp_issuer.issue(bnode)
                 results.append(self.hash_n_degree(bnode, temp_issuer))
-            results.sort(key=lambda r: r[0])
+            # Tie-break BEYOND the spec (r6, fixture c0044): URDNA2015's
+            # n-degree hash cannot distinguish certain non-interchangeable
+            # nodes when blank GRAPH labels are involved (hash_related for
+            # position 'g' carries only the related graph's label — the
+            # association "whose subject-quad lives in which graph" never
+            # enters any hash), so equal result hashes do NOT always mean
+            # automorphic nodes and a bare stable sort would let the INPUT
+            # label order pick the output. Secondary key: the candidate
+            # serialization each issuance order would produce (_tie_key) —
+            # content-derived, so the canonical form is relabeling-invariant.
+            # For genuinely automorphic ties all candidates serialize
+            # identically and the key is a no-op. The serialization key is
+            # only computed when hashes actually collide — the common case
+            # (all n-degree hashes distinct) pays nothing.
+            if len({h for h, _ in results}) < len(results):
+                results.sort(key=lambda r: (r[0], self._tie_key(r[1])))
+            else:
+                results.sort(key=lambda r: r[0])
             for _, result_issuer in results:
                 for existing in result_issuer.order:
                     self.canonical.issue(existing)
 
         return dict(self.canonical.issued)
+
+    def _tie_key(self, result_issuer: IdentifierIssuer) -> Tuple[str, ...]:
+        """Deterministic discriminator for equal n-degree hashes: serialize
+        the quads touching this result's nodes under the labels its issuance
+        order WOULD produce (hypothetical counter = the canonical issuer's
+        current state — identical for every candidate of a tie group),
+        already-canonical labels kept, all other blanks collapsed to _:z.
+        Input-label-independent by construction."""
+        hypothetical = self.canonical.copy()
+        bmap = {b: hypothetical.issue(b) for b in result_issuer.order}
+        bmap.update(self.canonical.issued)
+        lines = set()
+        for b in result_issuer.order:
+            for graph, quad in self.bnode_quads.get(b, []):
+                full = dict(bmap)
+                for term in (
+                    quad.subj,
+                    quad.pred,
+                    quad.obj_value if quad.obj_kind == "id" else None,
+                    graph,
+                ):
+                    if term is not None and is_blank(term) and term not in full:
+                        full[term] = "_:z"
+                lines.add(nquad_line(graph, quad, full))
+        return tuple(sorted(lines))
 
 
 def canonical_labels(

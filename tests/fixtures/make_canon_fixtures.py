@@ -431,6 +431,114 @@ CASES = [
             for x, y in ((a, b), (b, a))
         ],
     ),
+
+    # ------------------------------------------------------------------ #
+    # Round-6 vectors: harder automorphism / cross-graph shapes. Expected
+    # outputs still come from tools/canon_independent.py (clean-room), so
+    # every vector is a two-implementation agreement check.
+    # ------------------------------------------------------------------ #
+    (
+        "c0036",
+        "2x3 grid (bidirectional): rectangular symmetry needs n-degree paths",
+        [
+            ("@default", x, R, "id", y, None, None)
+            for a, b in (
+                ("_:g00", "_:g01"), ("_:g01", "_:g02"),
+                ("_:g10", "_:g11"), ("_:g11", "_:g12"),
+                ("_:g00", "_:g10"), ("_:g01", "_:g11"), ("_:g02", "_:g12"),
+            )
+            for x, y in ((a, b), (b, a))
+        ],
+    ),
+    (
+        "c0037",
+        "hub with four structurally identical blank leaves (leaf automorphism)",
+        [("@default", "_:hub", R, "id", f"_:leaf{i}", None, None) for i in range(4)],
+    ),
+    (
+        "c0038",
+        "two triangles sharing one node",
+        [
+            ("@default", a, R, "id", b, None, None)
+            for a, b in (
+                ("_:s", "_:t1a"), ("_:t1a", "_:t1b"), ("_:t1b", "_:s"),
+                ("_:s", "_:t2a"), ("_:t2a", "_:t2b"), ("_:t2b", "_:s"),
+            )
+        ],
+    ),
+    (
+        "c0039",
+        "complete K4 in both directions: full automorphism on 4 nodes",
+        [
+            ("@default", f"_:k{i}", R, "id", f"_:k{j}", None, None)
+            for i in range(4)
+            for j in range(4)
+            if i != j
+        ],
+    ),
+    (
+        "c0040",
+        "one blank label as subject, object AND graph name",
+        [
+            ("_:g", "_:g", P, "lit", "v", None, None),
+            ("@default", "_:s", R, "id", "_:g", None, None),
+            ("_:g", "_:s", Q, "lit", "w", None, None),
+        ],
+    ),
+    (
+        "c0041",
+        "identical intra-graph structure under two IRI-named graphs",
+        [
+            ("http://e/g1", "_:x1", R, "id", "_:y1", None, None),
+            ("http://e/g1", "_:y1", R, "id", "_:x1", None, None),
+            ("http://e/g2", "_:x2", R, "id", "_:y2", None, None),
+            ("http://e/g2", "_:y2", R, "id", "_:x2", None, None),
+        ],
+    ),
+    (
+        "c0042",
+        "symmetric 2-cycle broken only by a literal two hops away",
+        [
+            ("@default", "_:c0", R, "id", "_:c1", None, None),
+            ("@default", "_:c1", R, "id", "_:c0", None, None),
+            ("@default", "_:c0", R, "id", "_:tail0", None, None),
+            ("@default", "_:c1", R, "id", "_:tail1", None, None),
+            ("@default", "_:tail0", P, "lit", "a", None, None),
+            ("@default", "_:tail1", P, "lit", "b", None, None),
+        ],
+    ),
+    (
+        "c0043",
+        "full binary tree of depth 2, all blank",
+        [
+            ("@default", "_:root", R, "id", "_:l", None, None),
+            ("@default", "_:root", R, "id", "_:r", None, None),
+            ("@default", "_:l", R, "id", "_:ll", None, None),
+            ("@default", "_:l", R, "id", "_:lr", None, None),
+            ("@default", "_:r", R, "id", "_:rl", None, None),
+            ("@default", "_:r", R, "id", "_:rr", None, None),
+        ],
+    ),
+    (
+        "c0044",
+        "blank-named graph whose content references the other graph's nodes",
+        [
+            ("_:ga", "_:n1", R, "id", "_:n2", None, None),
+            ("_:gb", "_:n2", R, "id", "_:n1", None, None),
+            ("@default", "_:ga", Q, "lit", "first", None, None),
+            ("@default", "_:gb", Q, "lit", "second", None, None),
+        ],
+    ),
+    (
+        "c0045",
+        "4-cycle with alternating predicates (edge-coloring breaks rotation)",
+        [
+            ("@default", "_:q0", R, "id", "_:q1", None, None),
+            ("@default", "_:q1", Q, "id", "_:q2", None, None),
+            ("@default", "_:q2", R, "id", "_:q3", None, None),
+            ("@default", "_:q3", Q, "id", "_:q0", None, None),
+        ],
+    ),
 ]
 
 

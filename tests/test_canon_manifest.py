@@ -58,3 +58,31 @@ def test_poison_clique_hits_work_budget():
     with pytest.raises(E.JsonLdError) as ei:
         canonical_nquads(ds, work_budget=20_000)
     assert ei.value.code == E.CANON_TOO_COMPLEX
+
+
+def test_blank_graph_label_tie_is_relabeling_invariant():
+    """r6: URDNA2015's n-degree hash ties on this NON-automorphic dataset
+    (the graph-association of a node's subject-quad never enters any hash
+    once graph labels are blank), and the bare spec sort then let the input
+    label order pick the output — two different canonical forms for one
+    dataset. The content-derived tie-break must yield ONE form over every
+    input relabeling."""
+    import itertools
+
+    quads = [
+        ("_:ga", "_:n1", "http://e/r", "id", "_:n2", None, None),
+        ("_:gb", "_:n2", "http://e/r", "id", "_:n1", None, None),
+        ("@default", "_:ga", "http://e/q", "lit", "first", None, None),
+        ("@default", "_:gb", "http://e/q", "lit", "second", None, None),
+    ]
+    blanks = ["_:ga", "_:gb", "_:n1", "_:n2"]
+    outs = set()
+    for perm in itertools.permutations(["_:p1", "_:p2", "_:p3", "_:p4"]):
+        relabel = dict(zip(blanks, perm))
+        ds = {}
+        for g, s, p, k, v, dt, lang in quads:
+            g2, s2 = relabel.get(g, g), relabel.get(s, s)
+            v2 = relabel.get(v, v) if k == "id" else v
+            ds.setdefault(g2, []).append(Quad(s2, p, k, v2, dt, lang))
+        outs.add(canonical_nquads(ds))
+    assert len(outs) == 1, f"{len(outs)} distinct canonical forms"

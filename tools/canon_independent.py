@@ -138,6 +138,25 @@ def hash_n_degree(state, ident, issuer):
     return _sha256(data), issuer
 
 
+def _tie_key(state, result_issuer):
+    """Serialize the quads touching this result's nodes under the labels its
+    issuance order WOULD produce (hypothetical counter = current canonical
+    state, identical for every candidate of a tie group); already-canonical
+    labels kept, other blanks collapsed to _:z."""
+    hypo = state["canon"].clone()
+    bmap = {b: hypo.issue(b) for b in result_issuer.order}
+    bmap.update(state["canon"].map)
+    lines = set()
+    for b in result_issuer.order:
+        for quad in state["b2q"].get(b, []):
+            full = dict(bmap)
+            for _pos, tok in _bnodes_of(quad):
+                if tok not in full:
+                    full[tok] = "_:z"
+            lines.add(_serialize(quad, full))
+    return tuple(sorted(lines))
+
+
 def canonicalize(quads):
     """quads: list of token 4-tuples → canonical N-Quads document string."""
     state = {"b2q": {}, "canon": _Issuer("_:c14n")}
@@ -167,7 +186,12 @@ def canonicalize(quads):
             tmp = _Issuer("_:b")
             tmp.issue(b)
             results.append(hash_n_degree(state, b, tmp))
-        results.sort(key=lambda r: r[0])
+        # beyond-spec determinism tie-break, mirrored from
+        # jsonldpy.urdna2015._tie_key (see its comment: equal n-degree
+        # hashes are NOT always automorphic once blank graph labels are
+        # involved; the candidate serialization — not the input labels —
+        # must pick the issuance order)
+        results.sort(key=lambda r: (r[0], _tie_key(state, r[1])))
         for _, result_issuer in results:
             for existing in result_issuer.order:
                 state["canon"].issue(existing)
