@@ -335,13 +335,15 @@ def main() -> None:
             "triples_per_sec, measured uncached"
         ),
         "queries": per_query,
-        # the round-3 headline had 9 queries; round 4 added the two heavy
-        # composed ops, so `value` totals are not comparable across rounds —
-        # this subtotal is (sum over the original 9 only)
+        # the round-3 headline had 9 queries; rounds 4-6 added the heavy
+        # composed ops, the sink, and the streaming gate, so `value` totals
+        # are not comparable across rounds — this subtotal is (sum over the
+        # original 9 only; every later addition must join this exclusion
+        # list or the continuity metric silently shifts)
         "value_legacy9": round(
             sum(v for k, v in per_query.items()
                 if k not in ("tfidf_top_terms_docs", "corpus_filter_docs",
-                             "kg_materialize")),
+                             "kg_materialize", "streaming_sessionize_events")),
             3,
         ),
         "materialize_rows_per_sec": round(mat_rows / max(mat_sec, 1e-9), 1),
