@@ -539,6 +539,19 @@ CASES = [
             ("@default", "_:q3", Q, "id", "_:q0", None, None),
         ],
     ),
+    (
+        "c0046",
+        "three blank-named graphs in a cycle: 3-way n-degree tie resolved "
+        "by the content-derived tie-break (r6)",
+        [
+            ("_:ga", "_:n1", R, "id", "_:n2", None, None),
+            ("_:gb", "_:n2", R, "id", "_:n3", None, None),
+            ("_:gc", "_:n3", R, "id", "_:n1", None, None),
+            ("@default", "_:ga", Q, "lit", "a", None, None),
+            ("@default", "_:gb", Q, "lit", "b", None, None),
+            ("@default", "_:gc", Q, "lit", "c", None, None),
+        ],
+    ),
 ]
 
 

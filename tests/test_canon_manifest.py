@@ -86,3 +86,32 @@ def test_blank_graph_label_tie_is_relabeling_invariant():
             ds.setdefault(g2, []).append(Quad(s2, p, k, v2, dt, lang))
         outs.add(canonical_nquads(ds))
     assert len(outs) == 1, f"{len(outs)} distinct canonical forms"
+
+
+def test_three_way_graph_tie_is_relabeling_invariant():
+    """Deeper exercise of the r6 tie-break: a 3-way tie (three blank-named
+    graphs in a cycle) must canonicalize identically across sampled input
+    relabelings."""
+    import random
+
+    quads = [
+        ("_:ga", "_:n1", "http://e/r", "id", "_:n2", None, None),
+        ("_:gb", "_:n2", "http://e/r", "id", "_:n3", None, None),
+        ("_:gc", "_:n3", "http://e/r", "id", "_:n1", None, None),
+        ("@default", "_:ga", "http://e/q", "lit", "a", None, None),
+        ("@default", "_:gb", "http://e/q", "lit", "b", None, None),
+        ("@default", "_:gc", "http://e/q", "lit", "c", None, None),
+    ]
+    blanks = ["_:ga", "_:gb", "_:gc", "_:n1", "_:n2", "_:n3"]
+    rng = random.Random(11)
+    outs = set()
+    for _ in range(25):
+        perm = rng.sample([f"_:p{i}" for i in range(6)], 6)
+        relabel = dict(zip(blanks, perm))
+        ds = {}
+        for g, s, p, k, v, dt, lang in quads:
+            g2, s2 = relabel.get(g, g), relabel.get(s, s)
+            v2 = relabel.get(v, v) if k == "id" else v
+            ds.setdefault(g2, []).append(Quad(s2, p, k, v2, dt, lang))
+        outs.add(canonical_nquads(ds))
+    assert len(outs) == 1
