@@ -552,6 +552,22 @@ CASES = [
             ("@default", "_:gc", Q, "lit", "c", None, None),
         ],
     ),
+    (
+        "c0047",
+        "two independent blank-graph tie pairs in one hash bucket: the "
+        "tie-break's hypothetical-counter path (second pair resolves after "
+        "the first pair's issuance shifted the canonical counter)",
+        [
+            ("_:ga", "_:n1", R, "id", "_:n2", None, None),
+            ("_:gb", "_:n2", R, "id", "_:n1", None, None),
+            ("_:gc", "_:n3", R, "id", "_:n4", None, None),
+            ("_:gd", "_:n4", R, "id", "_:n3", None, None),
+            ("@default", "_:ga", Q, "lit", "first", None, None),
+            ("@default", "_:gb", Q, "lit", "second", None, None),
+            ("@default", "_:gc", Q, "lit", "third", None, None),
+            ("@default", "_:gd", Q, "lit", "fourth", None, None),
+        ],
+    ),
 ]
 
 

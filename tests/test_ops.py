@@ -892,3 +892,43 @@ def test_minhash_incremental_never_self_pairs(spark):
     sigs = minhash_signatures(docs).localCheckpoint()
     pairs = minhash_incremental_pairs(docs, sigs).collect()
     assert all(r["new_doc_id"] != r["corpus_doc_id"] for r in pairs)
+
+
+def test_repetition_signals_randomized_recount(spark):
+    """Randomized cross-check of the fold-based repetition columns against
+    plain Python Counters — adversarial shapes (heavy repeats, single
+    words, newlines, empty-ish tokens) in ONE batched job."""
+    import random
+    from collections import Counter
+
+    from jsonld_rs_spark.ops.text import lang_quality
+
+    rng = random.Random(23)
+    vocab = ["a", "bb", "ccc", "the", "x", "zz"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:  # inject newline-joined lines
+            text = "\n".join(
+                " ".join(words[j:j + 5]) for j in range(0, len(words), 5)
+            )
+        else:
+            text = " ".join(words)
+        rows.append((i, "en", text))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in lang_quality(docs).collect()}
+    for doc_id, _, text in rows:
+        words = text.split(" ")
+        grams = (
+            [" ".join(words[j:j + 2]) for j in range(len(words) - 1)]
+            if len(words) > 1 else [words[0]]
+        )
+        lines = text.split("\n")
+        r = got[doc_id]
+        assert r["top_word_frac"] == round(
+            Counter(words).most_common(1)[0][1] / len(words), 6), (doc_id, text)
+        assert r["top_2gram_frac"] == round(
+            Counter(grams).most_common(1)[0][1] / len(grams), 6), (doc_id, text)
+        assert r["dup_line_frac"] == round(
+            1 - len(set(lines)) / len(lines), 6), (doc_id, text)
