@@ -122,3 +122,76 @@ def test_blank_predicate_marker_in_n_degree_hashes():
         return {k: m[k] for k in ("_:x", "_:y", "_:z", "_:w")}
 
     assert labels("_:bp1") == labels("_:completely9different")
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_canonicalization_invariant_with_blank_graph_labels(seed):
+    """r6: the single-graph property above could never find the
+    blank-graph-label tie instability (fixture c0044) because its generator
+    only emitted @default quads. This generator places edges and literals
+    across blank- and IRI-named graphs (graph labels may double as nodes),
+    and asserts the same invariance: any input relabeling + any quad order
+    → byte-identical canonical N-Quads."""
+    rng = random.Random(seed)
+    n_nodes = rng.randint(2, 6)
+    nodes = [
+        f"_:n{i}" if rng.random() < 0.7 else f"http://x.example/n{i}"
+        for i in range(n_nodes)
+    ]
+    graphs = ["@default"]
+    for i in range(rng.randint(1, 3)):
+        r = rng.random()
+        if r < 0.5:
+            graphs.append(f"_:g{i}")
+        elif r < 0.75:
+            graphs.append(f"http://g.example/g{i}")
+        else:
+            graphs.append(rng.choice([n for n in nodes if n.startswith("_:")] or [f"_:g{i}"]))
+    preds = [f"http://p.example/p{i}" for i in range(2)]
+    gquads = []
+    for _ in range(rng.randint(1, 10)):
+        gquads.append(
+            (rng.choice(graphs),
+             Quad(rng.choice(nodes), rng.choice(preds), "id", rng.choice(nodes)))
+        )
+    for _ in range(rng.randint(0, 3)):
+        subj = rng.choice(nodes + [g for g in graphs if g.startswith("_:")])
+        gquads.append(
+            (rng.choice(graphs),
+             Quad(subj, rng.choice(preds), "literal", f"v{rng.randint(0, 3)}",
+                  XSD_STRING))
+        )
+
+    blanks = sorted({
+        t
+        for g, q in gquads
+        for t in (g, q.subj, q.obj_value if q.obj_kind == "id" else None)
+        if t and t.startswith("_:")
+    })
+    permuted = list(blanks)
+    rng.shuffle(permuted)
+    mapping = {b: f"_:rn{i}_{p[2:]}" for i, (b, p) in enumerate(zip(blanks, permuted))}
+
+    def build(quads, relabel):
+        ds = {}
+        for g, q in quads:
+            g2 = relabel.get(g, g)
+            ds.setdefault(g2, []).append(
+                Quad(
+                    relabel.get(q.subj, q.subj),
+                    q.pred,
+                    q.obj_kind,
+                    relabel.get(q.obj_value, q.obj_value)
+                    if q.obj_kind == "id" else q.obj_value,
+                    q.obj_datatype,
+                    q.obj_lang,
+                )
+            )
+        return ds
+
+    shuffled = list(gquads)
+    rng.shuffle(shuffled)
+    a = canonical_nquads(build(gquads, {}))
+    b = canonical_nquads(build(shuffled, mapping))
+    assert a == b
