@@ -1,13 +1,21 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+stdlib codecs for PNG and WAV.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, batch shape, partition sizing, UDF signatures)
-is real and tested. The codec is selected by a capability probe
-(``decode_media``): Pillow decodes image payloads when installed; absent
-that — this container has no image/audio libraries — ``decode_stub`` is a
-deterministic fake that "decodes" a payload into (width, height, n_frames)
-derived from its bytes, and raises ``NotImplementedError`` when
-``strict=True`` so callers can't mistake it for a real decoder.
+is real and tested. ``decode_media`` sniffs payload content first:
+
+* PNG → a real pure-stdlib decoder (``decode_png``: chunk walk with CRC
+  verification, zlib IDAT inflate, full scanline unfiltering; 8-bit
+  non-interlaced greyscale/RGB/RGBA) with a matching encoder and a real
+  nearest-neighbor ``resize_png``;
+* WAV → the stdlib ``wave`` reader (``decode_wav``: channels/width/rate/
+  frames + RMS over the PCM samples);
+* other image formats → Pillow via a capability probe, when installed;
+* everything else (notably video — no stdlib video codec exists) →
+  ``decode_stub``, a deterministic fake deriving (width, height, n_frames)
+  from the payload hash, raising ``NotImplementedError`` under
+  ``strict=True`` so callers can't mistake it for a real decoder.
 
 At 100 TB the rules encoded here matter more than the codec:
 * payloads are NEVER shuffled — feature extraction is a narrow
@@ -58,6 +66,184 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# Real stdlib codecs (r6): PNG via zlib, WAV via wave/audioop — no external
+# libraries. These close the "no codec in the sandbox" gap for the two
+# formats the standard library can actually handle; video remains honestly
+# stubbed (no stdlib video codec exists).
+# --------------------------------------------------------------------- #
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA (8-bit, no interlace)
+
+
+def decode_png(data: bytes):
+    """REAL PNG decode (pure stdlib): chunk walk with CRC verification, IDAT
+    inflate, and full per-scanline unfiltering (None/Sub/Up/Average/Paeth,
+    PNG spec §9 'Filtering' — https://www.w3.org/TR/png/). Supports the
+    8-bit non-interlaced greyscale/RGB/RGBA subset, which is what
+    ``encode_png`` writes and what tiny thumbnails need; anything else
+    raises ValueError for the caller's per-item containment.
+
+    Returns (width, height, channels, rows) with ``rows`` a list of
+    bytearrays of raw samples (stride = width × channels)."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = int.from_bytes(data[pos + 8 + length:pos + 12 + length], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    rows = []
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter {ftype}")
+        rows.append(line)
+        prev = line
+    return width, height, channels, rows
+
+
+def encode_png(width: int, height: int, channels: int, rows) -> bytes:
+    """REAL PNG encode (pure stdlib): 8-bit non-interlaced greyscale/RGB/
+    RGBA, filter type 0 per scanline, one zlib-deflated IDAT."""
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(data: bytes, max_dim: int) -> tuple:
+    """REAL nearest-neighbor downscale of a PNG payload; returns
+    (new_png_bytes, new_w, new_h). No-op (same bytes re-encoded) when the
+    image already fits."""
+    w, h, ch, rows = decode_png(data)
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = []
+    for y in range(nh):
+        sy = min(h - 1, int(y * h / nh))
+        src_row = rows[sy]
+        line = bytearray()
+        for x in range(nw):
+            sx = min(w - 1, int(x * w / nw))
+            line += src_row[sx * ch:(sx + 1) * ch]
+        out.append(line)
+    return encode_png(nw, nh, ch, out), nw, nh
+
+
+def decode_wav(data: bytes):
+    """REAL WAV decode via the stdlib ``wave`` module: returns
+    (n_channels, sample_width_bytes, framerate, n_frames, rms). RMS is
+    computed directly over the PCM samples (int(sqrt(mean(s²))), the same
+    definition audioop.rms used — audioop itself is deprecated for removal
+    in Python 3.13, so this module does not import it); 0 for empty audio;
+    only 16-bit samples carry an RMS (other widths return 0 rather than
+    guessing signedness conventions)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n_channels = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        framerate = wf.getframerate()
+        n_frames = wf.getnframes()
+        frames = wf.readframes(n_frames)
+    rms = 0
+    if frames and sampwidth == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        rms = int(math.sqrt(sum(s * s for s in samples) / len(samples)))
+    return n_channels, sampwidth, framerate, n_frames, rms
+
+
+def encode_wav(samples, framerate: int = 8000) -> bytes:
+    """REAL WAV encode: mono 16-bit PCM from an iterable of ints."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(b"".join(struct.pack("<h", int(s)) for s in samples))
+    return buf.getvalue()
+
+
+def _is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
 def decode_stub(payload: bytes, kind: str, strict: bool = False):
     """STUB decode. A real deployment plugs Pillow/ffmpeg here; the sandbox
     returns deterministic pseudo-dimensions derived from the payload hash so
@@ -91,12 +277,32 @@ def _pil_module():
 
 
 def decode_media(payload: bytes, kind: str, strict: bool = False):
-    """Decode selected by capability probe: Pillow for image payloads when
-    installed (real width/height, n_frames=1), the deterministic stub
-    otherwise. A present-but-undecodable payload (e.g. this sandbox's
-    synthetic utf-8 'images') also falls back to the stub rather than
-    failing the whole partition — per-item containment, like the
-    extraction stage's quarantine rule."""
+    """Decode selected by payload sniffing + capability probe, with per-item
+    containment throughout (an undecodable payload falls back to the stub
+    rather than failing the whole partition — the extraction stage's
+    quarantine rule):
+
+    1. PNG magic → the REAL stdlib decoder (decode_png: CRC walk + inflate
+       + unfilter) → (width, height, 1);
+    2. RIFF/WAVE magic → the REAL stdlib decoder (decode_wav) →
+       (n_channels, bit_depth, n_frames);
+    3. image payloads under an installed Pillow (capability probe) — covers
+       formats the stdlib decoder doesn't;
+    4. otherwise the deterministic stub (the only remaining stub territory
+       is video — no stdlib video codec exists)."""
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            w, h, _c, _rows = decode_png(payload)
+            return w, h, 1
+        except Exception:
+            pass  # unsupported PNG shape (16-bit, interlace, corrupt) →
+            # fall through to the Pillow probe, then the stub
+    elif _is_wav(payload):
+        try:
+            n_channels, sampwidth, _rate, n_frames, _rms = decode_wav(payload)
+            return n_channels, sampwidth * 8, n_frames
+        except Exception:
+            pass
     pil = _pil_module()
     if kind == "image" and pil is not None:
         import io
@@ -188,10 +394,11 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
 
 
 def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
-    """Resize plumbing: payload → (smaller) payload + updated meta, still a
-    narrow Arrow pass. The pixel work is STUBBED (deterministic byte
-    truncation proportional to the dimension ratio); a real deployment swaps
-    the inner function for Pillow/ffmpeg. Payload bytes never shuffle."""
+    """Resize as a narrow Arrow pass: payload → (smaller) payload + updated
+    dims. PNG payloads get a REAL nearest-neighbor downscale + re-encode
+    (resize_png, pure stdlib); everything else keeps the deterministic stub
+    (byte truncation proportional to the dimension ratio) with per-item
+    containment. Payload bytes never shuffle."""
     import pandas as pd
 
     from ..util import spread
@@ -205,6 +412,13 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
+                if data[:8] == _PNG_MAGIC:
+                    try:
+                        new_data, new_w, new_h = resize_png(data, max_dim)
+                        rows.append((int(media_id), kind, new_data, new_w, new_h))
+                        continue
+                    except Exception:
+                        pass  # contained: fall through to the stub path
                 w, h, _n = decode_media(data, kind)
                 scale = min(1.0, max_dim / max(w, h))
                 new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))

@@ -361,8 +361,20 @@ def test_decode_media_real_branch_on_handcrafted_png():
         # fallback, never a partition failure
         junk = b"definitely not an image"
         assert mm.decode_media(junk, "image") == decode_stub(junk, "image")
-        # non-image kinds never consult the image codec
-        assert mm.decode_media(png, "audio") == decode_stub(png, "audio")
+        # r6 semantics: decoding is CONTENT-sniffed, so a real PNG payload
+        # decodes to its true dimensions whatever the declared kind says
+        # (before r6 the declared kind gated the codec and this fell back
+        # to the stub)
+        assert mm.decode_media(png, "audio") == (7, 4, 1)
+        # a PNG the stdlib decoder rejects (corrupted CRC) still reaches
+        # the Pillow-seam codec — the capability probe keeps covering
+        # formats/shapes the stdlib decoder cannot handle
+        broken = bytearray(png)
+        broken[20] ^= 0xFF  # inside the IHDR body: CRC check now fails
+        fake_dims = mm.decode_media(bytes(broken), "image")
+        assert fake_dims[2] == 1 and fake_dims[0] == struct.unpack(
+            ">I", bytes(broken)[16:20]
+        )[0]
     finally:
         mm._pil_module = orig
 
@@ -932,3 +944,174 @@ def test_repetition_signals_randomized_recount(spark):
             Counter(grams).most_common(1)[0][1] / len(grams), 6), (doc_id, text)
         assert r["dup_line_frac"] == round(
             1 - len(set(lines)) / len(lines), 6), (doc_id, text)
+
+
+# --------------------------------------------------------------------- #
+# r6: REAL stdlib codecs (PNG via zlib, WAV via wave/audioop)
+# --------------------------------------------------------------------- #
+
+
+def _test_pixels(w, h, ch, seed=5):
+    rows = []
+    for y in range(h):
+        line = bytearray()
+        for x in range(w):
+            for c in range(ch):
+                line.append((seed + 31 * x + 17 * y + 7 * c) % 256)
+        rows.append(line)
+    return rows
+
+
+def test_png_roundtrip_all_color_types():
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png
+
+    for w, h, ch in ((9, 7, 3), (5, 4, 4), (3, 3, 1), (1, 1, 3)):
+        rows = _test_pixels(w, h, ch)
+        data = encode_png(w, h, ch, rows)
+        w2, h2, ch2, rows2 = decode_png(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert [bytes(r) for r in rows2] == [bytes(r) for r in rows]
+
+
+def test_png_decoder_all_filter_types():
+    """The encoder writes filter 0 only; the decoder must unfilter every
+    spec filter (Sub/Up/Average/Paeth). Build each filtered stream by
+    applying the spec's forward filter to known pixels, then assert decode
+    recovers them exactly."""
+    import zlib
+
+    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC, decode_png
+
+    w, h, ch = 6, 5, 3
+    rows = _test_pixels(w, h, ch, seed=11)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    for ftype in (0, 1, 2, 3, 4):
+        raw = b""
+        prev = bytearray(stride)
+        for y in range(h):
+            line = rows[y]
+            filt = bytearray()
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    v = line[i]
+                elif ftype == 1:
+                    v = (line[i] - a) & 0xFF
+                elif ftype == 2:
+                    v = (line[i] - b) & 0xFF
+                elif ftype == 3:
+                    v = (line[i] - (a + b) // 2) & 0xFF
+                else:
+                    v = (line[i] - paeth(a, b, c)) & 0xFF
+                filt.append(v)
+            raw += bytes([ftype]) + bytes(filt)
+            prev = line
+
+        def chunk(ctype, body):
+            return (len(body).to_bytes(4, "big") + ctype + body
+                    + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        w2, h2, ch2, rows2 = decode_png(png)
+        assert (w2, h2, ch2) == (w, h, ch), ftype
+        assert [bytes(r) for r in rows2] == [bytes(r) for r in rows], ftype
+
+
+def test_png_decoder_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png
+
+    data = bytearray(encode_png(4, 3, 3, _test_pixels(4, 3, 3)))
+    data[40] ^= 0xFF  # corrupt inside a chunk body -> CRC must catch it
+    with _pytest.raises(ValueError):
+        decode_png(bytes(data))
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_resize_png_nearest_neighbor():
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png, resize_png
+
+    w, h, ch = 8, 6, 3
+    rows = _test_pixels(w, h, ch, seed=3)
+    data = encode_png(w, h, ch, rows)
+    new_data, nw, nh = resize_png(data, max_dim=4)
+    assert (nw, nh) == (4, 3)
+    w2, h2, ch2, rows2 = decode_png(new_data)
+    assert (w2, h2, ch2) == (4, 3, 3)
+    for y in range(nh):
+        sy = min(h - 1, int(y * h / nh))
+        for x in range(nw):
+            sx = min(w - 1, int(x * w / nw))
+            assert rows2[y][x * ch:(x + 1) * ch] == rows[sy][sx * ch:(sx + 1) * ch]
+    # an image already inside max_dim keeps its dimensions
+    same, sw, sh = resize_png(data, max_dim=64)
+    assert (sw, sh) == (w, h)
+
+
+def test_wav_roundtrip_and_rms():
+    import math
+
+    from jsonld_rs_spark.ops.multimodal import decode_wav, encode_wav
+
+    samples = [((i * 37) % 2000) - 1000 for i in range(100)]
+    data = encode_wav(samples, framerate=8000)
+    n_channels, sampwidth, framerate, n_frames, rms = decode_wav(data)
+    assert (n_channels, sampwidth, framerate, n_frames) == (1, 2, 8000, 100)
+    expected = int(math.sqrt(sum(s * s for s in samples) / len(samples)))
+    assert rms == expected > 0
+
+
+def test_decode_media_sniffs_real_payloads(spark):
+    """decode_media: PNG/WAV payloads hit the REAL decoders; text payloads
+    keep the stub (the DuckDB oracle depends on that); the whole path also
+    runs distributed through extract_features."""
+    from jsonld_rs_spark.ops.multimodal import (
+        decode_media,
+        encode_png,
+        encode_wav,
+        extract_features,
+    )
+
+    png = encode_png(10, 4, 3, _test_pixels(10, 4, 3))
+    wav = encode_wav(range(64))
+    assert decode_media(png, "image") == (10, 4, 1)
+    assert decode_media(wav, "audio") == (1, 16, 64)  # mono, 16-bit, 64 frames
+    stub_dims = decode_media(b"plain text payload", "image")
+    assert stub_dims[0] >= 160  # stub formula, unchanged
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), ("image/png", len(png), "u1")),
+         (2, "audio", bytearray(wav), ("audio/wav", len(wav), "u2"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_frames"]) == (10, 4, 1)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_frames"]) == (1, 16, 64)
+
+
+def test_resize_media_really_resizes_png(spark):
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png, resize_media
+
+    png = encode_png(16, 8, 3, _test_pixels(16, 8, 3))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), ("image/png", len(png), "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    row = resize_media(media, max_dim=4).collect()[0]
+    assert (row["width"], row["height"]) == (4, 2)
+    w, h, ch, _rows = decode_png(bytes(row["payload"]))
+    assert (w, h, ch) == (4, 2, 3)
