@@ -1115,3 +1115,59 @@ def test_resize_media_really_resizes_png(spark):
     assert (row["width"], row["height"]) == (4, 2)
     w, h, ch, _rows = decode_png(bytes(row["payload"]))
     assert (w, h, ch) == (4, 2, 3)
+
+
+def test_png_decoder_randomized_mixed_filters():
+    """Randomized round-trip: random pixels, random channel counts, and a
+    RANDOM filter type per scanline (the shape real encoders emit) must all
+    decode back to the exact pixels."""
+    import random
+    import zlib
+
+    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC, decode_png
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rng = random.Random(99)
+    for _ in range(20):
+        ch = rng.choice([1, 3, 4])
+        w, h = rng.randint(1, 12), rng.randint(1, 9)
+        rows = [bytearray(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+        stride = w * ch
+        raw = b""
+        prev = bytearray(stride)
+        for y in range(h):
+            ftype = rng.randint(0, 4)
+            line = rows[y]
+            filt = bytearray()
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                v = line[i]
+                if ftype == 1:
+                    v = (v - a) & 0xFF
+                elif ftype == 2:
+                    v = (v - b) & 0xFF
+                elif ftype == 3:
+                    v = (v - (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    v = (v - paeth(a, b, c)) & 0xFF
+                filt.append(v)
+            raw += bytes([ftype]) + bytes(filt)
+            prev = line
+
+        def chunk(ctype, body):
+            return (len(body).to_bytes(4, "big") + ctype + body
+                    + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+        png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        w2, h2, ch2, rows2 = decode_png(png)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert [bytes(r) for r in rows2] == [bytes(r) for r in rows]
