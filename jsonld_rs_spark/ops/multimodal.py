@@ -119,9 +119,17 @@ def decode_png(data: bytes):
             f"interlace={interlace})"
         )
     channels = _PNG_CHANNELS[color_type]
+    if width * height > 16_000_000:  # crawl-scale guard: a hostile header
+        # must not allocate gigabytes of rows before any pixel is read
+        raise ValueError(f"image too large ({width}x{height})")
     stride = width * channels
-    raw = zlib.decompress(idat)
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate (zlib-bomb guard): a few KB of IDAT can legally
+    # declare gigabytes of output; decompress at most expected+1 bytes and
+    # reject any mismatch instead of materializing the bomb
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("IDAT length mismatch")
     rows = []
     prev = bytearray(stride)

@@ -1171,3 +1171,35 @@ def test_png_decoder_randomized_mixed_filters():
         w2, h2, ch2, rows2 = decode_png(png)
         assert (w2, h2, ch2) == (w, h, ch)
         assert [bytes(r) for r in rows2] == [bytes(r) for r in rows]
+
+
+def test_png_decoder_rejects_bombs():
+    """Crawl-scale containment: a hostile PNG must not materialize its
+    decompressed payload — neither via a giant declared geometry nor via an
+    IDAT that inflates past the declared size (zlib bomb)."""
+    import zlib
+
+    import pytest as _pytest
+
+    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC, decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    # giant declared geometry: rejected BEFORE any inflate/allocation
+    ihdr = (100_000).to_bytes(4, "big") + (100_000).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    huge = _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="too large"):
+        decode_png(huge)
+
+    # small declared geometry, bomb IDAT: 2 MB of zeros compress to ~2 KB
+    ihdr2 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = _PNG_MAGIC + chunk(b"IHDR", ihdr2) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 2_000_000)) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="IDAT length"):
+        decode_png(bomb)
+
+    # a legitimate tiny image still decodes after the guards
+    ok = encode_png(2, 2, 3, [bytes(6), bytes(6)])
+    assert decode_png(ok)[:2] == (2, 2)
