@@ -317,20 +317,22 @@ class _Canonicalizer:
         hypothetical = self.canonical.copy()
         bmap = {b: hypothetical.issue(b) for b in result_issuer.order}
         bmap.update(self.canonical.issued)
-        lines = set()
-        for b in result_issuer.order:
-            for graph, quad in self.bnode_quads.get(b, []):
-                full = dict(bmap)
-                for term in (
-                    quad.subj,
-                    quad.pred,
-                    quad.obj_value if quad.obj_kind == "id" else None,
-                    graph,
-                ):
-                    if term is not None and is_blank(term) and term not in full:
-                        full[term] = "_:z"
-                lines.add(nquad_line(graph, quad, full))
-        return tuple(sorted(lines))
+        quads = [
+            pair for b in result_issuer.order for pair in self.bnode_quads.get(b, [])
+        ]
+        # ONE substitution map per candidate (review r6: a per-quad
+        # dict(bmap) copy made each tie-break O(issued-labels × quads) on
+        # large documents); unknown blanks collapse to _:z
+        for graph, quad in quads:
+            for term in (
+                quad.subj,
+                quad.pred,
+                quad.obj_value if quad.obj_kind == "id" else None,
+                graph,
+            ):
+                if term is not None and is_blank(term) and term not in bmap:
+                    bmap[term] = "_:z"
+        return tuple(sorted({nquad_line(graph, quad, bmap) for graph, quad in quads}))
 
 
 def canonical_labels(

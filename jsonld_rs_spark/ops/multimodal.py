@@ -77,6 +77,50 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA (8-bit, no interlace)
 
 
+def _check_png_dims(width: int, height: int) -> None:
+    """Crawl-scale hostile-header guard: dimensions are bounded PER AXIS and
+    must be nonzero. (Review r6: a `width*height` product guard alone is
+    bypassed by height=0 with a huge width — the product is 0 while the
+    scanline buffer allocation is ~width×channels bytes; and the PNG spec
+    requires nonzero dimensions, whose absence later divides by zero in
+    resize ratios.)"""
+    if not (0 < width <= 16_000_000 and 0 < height <= 16_000_000):
+        raise ValueError(f"bad PNG dimensions ({width}x{height})")
+    if width * height > 16_000_000:
+        raise ValueError(f"image too large ({width}x{height})")
+
+
+def png_header_dims(data: bytes):
+    """(width, height) from the IHDR alone — CRC-verified and shape/bounds-
+    checked, but WITHOUT inflating or unfiltering any pixel data. This is
+    what the hot metadata path (decode_media → extract_features) uses: a
+    16M-pixel image costs constant time here vs tens of millions of
+    pure-Python unfilter steps in decode_png (review r6). The full decoder
+    remains the resize/pixel path."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    length = int.from_bytes(data[8:12], "big")
+    ctype = data[12:16]
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not a valid IHDR")
+    body = data[16:29]
+    crc = int.from_bytes(data[29:33], "big")
+    if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+        raise ValueError("bad IHDR CRC")
+    width = int.from_bytes(body[0:4], "big")
+    height = int.from_bytes(body[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    _check_png_dims(width, height)
+    return width, height
+
+
 def decode_png(data: bytes):
     """REAL PNG decode (pure stdlib): chunk walk with CRC verification, IDAT
     inflate, and full per-scanline unfiltering (None/Sub/Up/Average/Paeth,
@@ -119,9 +163,7 @@ def decode_png(data: bytes):
             f"interlace={interlace})"
         )
     channels = _PNG_CHANNELS[color_type]
-    if width * height > 16_000_000:  # crawl-scale guard: a hostile header
-        # must not allocate gigabytes of rows before any pixel is read
-        raise ValueError(f"image too large ({width}x{height})")
+    _check_png_dims(width, height)
     stride = width * channels
     expected = (stride + 1) * height
     # bounded inflate (zlib-bomb guard): a few KB of IDAT can legally
@@ -207,14 +249,20 @@ def resize_png(data: bytes, max_dim: int) -> tuple:
     return encode_png(nw, nh, ch, out), nw, nh
 
 
-def decode_wav(data: bytes):
+def decode_wav(data: bytes, with_rms: bool = True):
     """REAL WAV decode via the stdlib ``wave`` module: returns
-    (n_channels, sample_width_bytes, framerate, n_frames, rms). RMS is
-    computed directly over the PCM samples (int(sqrt(mean(s²))), the same
-    definition audioop.rms used — audioop itself is deprecated for removal
-    in Python 3.13, so this module does not import it); 0 for empty audio;
-    only 16-bit samples carry an RMS (other widths return 0 rather than
-    guessing signedness conventions)."""
+    (n_channels, sample_width_bytes, framerate, n_frames, rms).
+
+    ``n_frames`` is CLAMPED to what the payload can actually hold
+    (len(data)//framesize): the header's 4-byte data-chunk size is
+    attacker-controlled, and a 44-byte file declaring 0xFFFFFFF0 bytes
+    would otherwise report ~4.3e9 frames — past int32, killing the Arrow
+    cast downstream (review r6, verified by execution). ``with_rms=False``
+    skips reading/materializing the PCM entirely — the hot metadata path
+    wants only the header fields. RMS is int(sqrt(mean(s²))) over 16-bit
+    samples (audioop's definition; audioop itself is deprecated for
+    removal in Python 3.13 and is not imported); 0 for empty audio or
+    other sample widths."""
     import io
     import math
     import struct
@@ -225,7 +273,9 @@ def decode_wav(data: bytes):
         sampwidth = wf.getsampwidth()
         framerate = wf.getframerate()
         n_frames = wf.getnframes()
-        frames = wf.readframes(n_frames)
+        framesize = max(1, n_channels * sampwidth)
+        n_frames = max(0, min(n_frames, len(data) // framesize))
+        frames = wf.readframes(n_frames) if with_rms else b""
     rms = 0
     if frames and sampwidth == 2:
         samples = struct.unpack(f"<{len(frames) // 2}h", frames)
@@ -300,14 +350,18 @@ def decode_media(payload: bytes, kind: str, strict: bool = False):
        is video — no stdlib video codec exists)."""
     if payload[:8] == _PNG_MAGIC:
         try:
-            w, h, _c, _rows = decode_png(payload)
+            # header-only: the metadata path needs dims, not pixels —
+            # decode_png (inflate + unfilter) is the resize path's job
+            w, h = png_header_dims(payload)
             return w, h, 1
         except Exception:
             pass  # unsupported PNG shape (16-bit, interlace, corrupt) →
             # fall through to the Pillow probe, then the stub
     elif _is_wav(payload):
         try:
-            n_channels, sampwidth, _rate, n_frames, _rms = decode_wav(payload)
+            n_channels, sampwidth, _rate, n_frames, _rms = decode_wav(
+                payload, with_rms=False
+            )
             return n_channels, sampwidth * 8, n_frames
         except Exception:
             pass
@@ -370,13 +424,22 @@ def extract_features(media: DataFrame) -> DataFrame:
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_sha string"
 
 
-def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
-    """Frame sampling as a 1→N mapInPandas fan-out: each video/audio payload
-    yields one row per sampled frame index (0, every_n, 2·every_n, …  up to
-    the decoded n_frames). The decode is the same deterministic stub as
-    extract_features — frame content is faked as sha256(payload|idx) — but
-    the Spark plumbing (schema, fan-out batch shape, payload never leaving
-    the narrow stage) is the real thing a codec would plug into."""
+def frame_sample(
+    media: DataFrame, every_n: int = 8, max_samples: int = 256
+) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas fan-out: each payload yields one
+    row per sampled frame index. ``decode_media`` supplies n_frames — the
+    REAL count for sniffable payloads (since r6 a WAV's n_frames is its PCM
+    frame count), the deterministic stub otherwise; frame content is
+    addressed as sha256(payload|idx) where a codec would emit pixels.
+
+    ``max_samples`` bounds the fan-out per payload (review r6): with real
+    counts, a 3-minute 44.1 kHz WAV has ~8M frames — sampling every 8th
+    would emit ~1M rows each hashing the full payload, stalling an executor
+    on one file (and a hostile header could declare 2^32 frames). The
+    effective stride becomes max(every_n, ceil(n_frames/max_samples));
+    stub-ranged counts (≤263 frames, ≤33 rows) keep stride == every_n, so
+    the DuckDB oracle's arithmetic is untouched."""
     import pandas as pd
 
     from ..util import spread
@@ -391,7 +454,8 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
             ):
                 data = bytes(payload)
                 _w, _h, n_frames = decode_media(data, kind)
-                for idx in range(0, n_frames, every_n):
+                stride = max(every_n, -(-n_frames // max_samples))
+                for idx in range(0, n_frames, stride):
                     sha = hashlib.sha256(
                         data + b"|" + str(idx).encode("ascii")
                     ).hexdigest()
@@ -428,7 +492,10 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
                     except Exception:
                         pass  # contained: fall through to the stub path
                 w, h, _n = decode_media(data, kind)
-                scale = min(1.0, max_dim / max(w, h))
+                # max(..., 1): degenerate decoded dims must stay contained
+                # (review r6 — a 0x0-reporting payload divided by zero here
+                # and killed the whole Arrow task)
+                scale = min(1.0, max_dim / max(w, h, 1))
                 new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
                 new_len = max(1, int(len(data) * scale * scale))
                 rows.append((int(media_id), kind, data[:new_len], new_w, new_h))

@@ -962,6 +962,59 @@ def _test_pixels(w, h, ch, seed=5):
     return rows
 
 
+def _png_paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _png_forward_filter(rows, w, ch, ftypes):
+    """Apply the PNG spec's forward filters (one type per scanline) to raw
+    pixel rows — the reference implementation both filter-coverage tests
+    assert the decoder against (review r6: previously duplicated inline)."""
+    stride = w * ch
+    raw = b""
+    prev = bytearray(stride)
+    for y, line in enumerate(rows):
+        ftype = ftypes[y]
+        filt = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            v = line[i]
+            if ftype == 1:
+                v = (v - a) & 0xFF
+            elif ftype == 2:
+                v = (v - b) & 0xFF
+            elif ftype == 3:
+                v = (v - (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                v = (v - _png_paeth(a, b, c)) & 0xFF
+            filt.append(v)
+        raw += bytes([ftype]) + bytes(filt)
+        prev = line
+    return raw
+
+
+def _png_chunk(ctype, body):
+    import zlib
+
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _build_png(w, h, ch, raw):
+    import zlib
+
+    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC
+
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+
+
 def test_png_roundtrip_all_color_types():
     from jsonld_rs_spark.ops.multimodal import decode_png, encode_png
 
@@ -975,53 +1028,16 @@ def test_png_roundtrip_all_color_types():
 
 def test_png_decoder_all_filter_types():
     """The encoder writes filter 0 only; the decoder must unfilter every
-    spec filter (Sub/Up/Average/Paeth). Build each filtered stream by
-    applying the spec's forward filter to known pixels, then assert decode
-    recovers them exactly."""
-    import zlib
-
-    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC, decode_png
+    spec filter (Sub/Up/Average/Paeth). Build each filtered stream via the
+    shared forward-filter reference and assert decode recovers the
+    pixels exactly."""
+    from jsonld_rs_spark.ops.multimodal import decode_png
 
     w, h, ch = 6, 5, 3
     rows = _test_pixels(w, h, ch, seed=11)
-    stride = w * ch
-
-    def paeth(a, b, c):
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-
     for ftype in (0, 1, 2, 3, 4):
-        raw = b""
-        prev = bytearray(stride)
-        for y in range(h):
-            line = rows[y]
-            filt = bytearray()
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                if ftype == 0:
-                    v = line[i]
-                elif ftype == 1:
-                    v = (line[i] - a) & 0xFF
-                elif ftype == 2:
-                    v = (line[i] - b) & 0xFF
-                elif ftype == 3:
-                    v = (line[i] - (a + b) // 2) & 0xFF
-                else:
-                    v = (line[i] - paeth(a, b, c)) & 0xFF
-                filt.append(v)
-            raw += bytes([ftype]) + bytes(filt)
-            prev = line
-
-        def chunk(ctype, body):
-            return (len(body).to_bytes(4, "big") + ctype + body
-                    + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
-
-        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
-        png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        raw = _png_forward_filter(rows, w, ch, [ftype] * h)
+        png = _build_png(w, h, ch, raw)
         w2, h2, ch2, rows2 = decode_png(png)
         assert (w2, h2, ch2) == (w, h, ch), ftype
         assert [bytes(r) for r in rows2] == [bytes(r) for r in rows], ftype
@@ -1122,52 +1138,16 @@ def test_png_decoder_randomized_mixed_filters():
     RANDOM filter type per scanline (the shape real encoders emit) must all
     decode back to the exact pixels."""
     import random
-    import zlib
 
-    from jsonld_rs_spark.ops.multimodal import _PNG_MAGIC, decode_png
-
-    def paeth(a, b, c):
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+    from jsonld_rs_spark.ops.multimodal import decode_png
 
     rng = random.Random(99)
     for _ in range(20):
         ch = rng.choice([1, 3, 4])
         w, h = rng.randint(1, 12), rng.randint(1, 9)
         rows = [bytearray(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
-        stride = w * ch
-        raw = b""
-        prev = bytearray(stride)
-        for y in range(h):
-            ftype = rng.randint(0, 4)
-            line = rows[y]
-            filt = bytearray()
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                v = line[i]
-                if ftype == 1:
-                    v = (v - a) & 0xFF
-                elif ftype == 2:
-                    v = (v - b) & 0xFF
-                elif ftype == 3:
-                    v = (v - (a + b) // 2) & 0xFF
-                elif ftype == 4:
-                    v = (v - paeth(a, b, c)) & 0xFF
-                filt.append(v)
-            raw += bytes([ftype]) + bytes(filt)
-            prev = line
-
-        def chunk(ctype, body):
-            return (len(body).to_bytes(4, "big") + ctype + body
-                    + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
-
-        color = {1: 0, 3: 2, 4: 6}[ch]
-        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
-        png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        ftypes = [rng.randint(0, 4) for _ in range(h)]
+        png = _build_png(w, h, ch, _png_forward_filter(rows, w, ch, ftypes))
         w2, h2, ch2, rows2 = decode_png(png)
         assert (w2, h2, ch2) == (w, h, ch)
         assert [bytes(r) for r in rows2] == [bytes(r) for r in rows]
@@ -1203,3 +1183,74 @@ def test_png_decoder_rejects_bombs():
     # a legitimate tiny image still decodes after the guards
     ok = encode_png(2, 2, 3, [bytes(6), bytes(6)])
     assert decode_png(ok)[:2] == (2, 2)
+
+
+def test_media_guards_against_hostile_payloads(spark):
+    """Review r6, all verified-by-execution attack shapes must be contained:
+
+    * a CRC-valid 0x0 PNG (passed the product-only size guard, then divided
+      by zero in resize_media's stub path and killed the Arrow task);
+    * width=0xFFFFFF00, height=0 (product 0 → passed the old guard, then
+      tried a multi-GB scanline allocation);
+    * a 44-byte WAV whose data-chunk header declares ~2^32 frames
+      (n_frames overflowed the int32 feature column).
+    """
+    import struct
+
+    from jsonld_rs_spark.ops import multimodal as mm
+
+    zero = _build_png(0, 0, 3, b"")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.decode_png(zero)
+    with _pytest.raises(ValueError):
+        mm.png_header_dims(zero)
+    # decode_media contains it (stub fallback), and resize_media survives
+    dims = mm.decode_media(zero, "image")
+    assert dims[0] >= 160  # stub formula
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(zero), ("image/png", len(zero), "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    out = mm.resize_media(media, max_dim=4).collect()
+    assert len(out) == 1  # no ZeroDivisionError task death
+
+    wide = _build_png(0xFFFFFF00, 0, 4, b"")
+    with _pytest.raises(ValueError):
+        mm.png_header_dims(wide)
+    with _pytest.raises(ValueError):
+        mm.decode_png(wide)
+
+    # hostile WAV: header claims a huge data chunk on a 44-byte file
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 0xFFFFFF00) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 0xFFFFFF00))
+    n_channels, sampwidth, _rate, n_frames, _rms = mm.decode_wav(hdr, with_rms=False)
+    assert n_frames <= len(hdr)  # clamped to what the payload can hold
+    assert mm.decode_media(hdr, "audio")[2] <= len(hdr)
+
+
+def test_frame_sample_caps_fanout_on_real_audio(spark):
+    """A long real WAV must sample at most max_samples frames instead of
+    fanning out per-PCM-frame (review r6: ~1M rows × full-payload hashes
+    from one file)."""
+    from jsonld_rs_spark.ops.multimodal import encode_wav, frame_sample
+
+    wav = encode_wav(range(10_000))  # 10k frames
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), ("audio/wav", len(wav), "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    rows = frame_sample(media, every_n=8, max_samples=64).collect()
+    assert 0 < len(rows) <= 64
+    # stub-range counts keep the original stride (oracle arithmetic intact)
+    text_media = spark.createDataFrame(
+        [(2, "video", bytearray(b"plain text payload"), ("x-fake/video", 18, "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    stub_rows = frame_sample(text_media).collect()
+    idxs = sorted(r["frame_idx"] for r in stub_rows)
+    assert idxs[:2] == [0, 8] if len(idxs) > 1 else idxs == [0]
