@@ -249,20 +249,40 @@ def resize_png(data: bytes, max_dim: int) -> tuple:
     return encode_png(nw, nh, ch, out), nw, nh
 
 
+def _wav_pcm_bytes(data: bytes) -> int:
+    """Bytes physically present after the ``data`` chunk header — the true
+    upper bound on PCM payload regardless of what the chunk size field
+    claims. Walks RIFF subchunks (4-byte id + 4-byte LE size, even-padded)
+    from offset 12; falls back to the whole-file bound if no data chunk is
+    found (wave.open already validated the container shape)."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"data":
+            return max(0, len(data) - (pos + 8))
+        pos += 8 + size + (size & 1)
+    return len(data)
+
+
 def decode_wav(data: bytes, with_rms: bool = True):
     """REAL WAV decode via the stdlib ``wave`` module: returns
     (n_channels, sample_width_bytes, framerate, n_frames, rms).
 
-    ``n_frames`` is CLAMPED to what the payload can actually hold
-    (len(data)//framesize): the header's 4-byte data-chunk size is
-    attacker-controlled, and a 44-byte file declaring 0xFFFFFFF0 bytes
-    would otherwise report ~4.3e9 frames — past int32, killing the Arrow
-    cast downstream (review r6, verified by execution). ``with_rms=False``
-    skips reading/materializing the PCM entirely — the hot metadata path
-    wants only the header fields. RMS is int(sqrt(mean(s²))) over 16-bit
-    samples (audioop's definition; audioop itself is deprecated for
-    removal in Python 3.13 and is not imported); 0 for empty audio or
-    other sample widths."""
+    ``n_frames`` is CLAMPED to what the payload can actually hold: the
+    header's 4-byte data-chunk size is attacker-controlled, and a 44-byte
+    file declaring 0xFFFFFFF0 bytes would otherwise report ~4.3e9 frames —
+    past int32, killing the Arrow cast downstream (review r6, verified by
+    execution). The bound is the byte count remaining after the ``data``
+    chunk header (ADVICE r6: len(data) counts the RIFF/fmt headers and any
+    extra chunks too, so a truncated file could still over-report by a few
+    frames). ``with_rms=False`` skips reading/materializing the PCM
+    entirely — the hot metadata path wants only the header fields. RMS is
+    int(sqrt(mean(s²))) over 16-bit samples (audioop's definition; audioop
+    itself is deprecated for removal in Python 3.13 and is not imported);
+    0 for empty audio or other sample widths."""
     import io
     import math
     import struct
@@ -274,7 +294,7 @@ def decode_wav(data: bytes, with_rms: bool = True):
         framerate = wf.getframerate()
         n_frames = wf.getnframes()
         framesize = max(1, n_channels * sampwidth)
-        n_frames = max(0, min(n_frames, len(data) // framesize))
+        n_frames = max(0, min(n_frames, _wav_pcm_bytes(data) // framesize))
         frames = wf.readframes(n_frames) if with_rms else b""
     rms = 0
     if frames and sampwidth == 2:

@@ -164,9 +164,11 @@ def extract_and_materialize(
 
     # run_id travels inside the records so lineage survives resumed runs:
     # each metrics row stays attributed to the run that produced its batch.
+    # run_ts (driver-stamped) orders runs so quarantined() can scope resolved
+    # markers by recency (ADVICE r6) — append-only tables have no other order.
     records = extract_records(todo, stage="extract").withColumn(
         "run_id", F.lit(run_id)
-    )
+    ).withColumn("run_ts", F.lit(float(time.time())))
     records.write.mode("append").parquet(records_path)
     write_manifest(spark, out_dir, "extract", run_id, "records_done")
 
@@ -239,7 +241,7 @@ def replay_quarantined(
     replay_pages = pages_df.select("url", "html").join(todo, "url")
     records = extract_replay_records(replay_pages, store).withColumn(
         "run_id", F.lit(run_id)
-    )
+    ).withColumn("run_ts", F.lit(float(time.time())))
     records.write.mode("append").parquet(records_path)
     write_manifest(spark, out_dir, "replay", run_id, "records_done")
 

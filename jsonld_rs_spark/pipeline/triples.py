@@ -263,28 +263,47 @@ def quarantined(records_df):
     The records table is append-only (at crawl scale a rewrite of the full
     records table to clear one poison row is absurd), so a successful replay
     appends a resolved marker (rec_kind='r', VERDICT r5 #6) instead of
-    deleting the 'q' row; this view anti-joins the markers out. A block that
+    deleting the 'q' row; this view joins the markers out. A block that
     failed again on replay has a fresh 'q' row and no marker — it stays
-    listed (distinct collapses the repeated identical rows)."""
+    listed (distinct collapses the repeated identical rows).
+
+    Masking is RECENCY-SCOPED (ADVICE r6): a resolved marker only clears 'q'
+    rows stamped at-or-before it. Without this, healing a block once would
+    permanently mask any FUTURE 'q' for the same (url, block_index) — e.g. a
+    re-crawled page whose same-index block now fails could never be
+    replayed. Ordering comes from the driver-stamped ``run_ts`` column
+    (materialize.py appends it per run); records without the column (raw
+    ``extract_records`` output within one run) degenerate to the unscoped
+    behavior, which is correct there because a single run never re-fails a
+    block it also resolved."""
     from pyspark.sql import functions as F
 
+    ts = F.col("run_ts") if "run_ts" in records_df.columns else F.lit(0.0)
     q = (
         records_df.filter(F.col("rec_kind") == "q")
         .select(
             "url",
             F.from_json("metrics", "block_index int, error string").alias("q"),
+            ts.alias("q_ts"),
         )
-        .select("url", "q.block_index", "q.error")
+        .select("url", "q.block_index", "q.error", "q_ts")
     )
     resolved = (
         records_df.filter(F.col("rec_kind") == "r")
         .select(
             "url",
             F.from_json("metrics", "block_index int").alias("r"),
+            ts.alias("r_ts"),
         )
-        .select("url", "r.block_index")
+        .groupBy("url", F.col("r.block_index").alias("block_index"))
+        .agg(F.max("r_ts").alias("r_ts"))
     )
-    return q.join(resolved, ["url", "block_index"], "left_anti").distinct()
+    return (
+        q.join(resolved, ["url", "block_index"], "left")
+        .filter(F.col("r_ts").isNull() | (F.col("r_ts") < F.col("q_ts")))
+        .select("url", "block_index", "error")
+        .distinct()
+    )
 
 
 def extract_replay_records(pages_with_blocks_df, store: Optional[Dict[str, Any]] = None,

@@ -1230,6 +1230,20 @@ def test_media_guards_against_hostile_payloads(spark):
     assert n_frames <= len(hdr)  # clamped to what the payload can hold
     assert mm.decode_media(hdr, "audio")[2] <= len(hdr)
 
+    # ADVICE r6: the clamp must bound against the DATA-CHUNK payload, not
+    # len(data) — a truncated file with an extra chunk before `data` carries
+    # header bytes that are not PCM. 16-bit mono: LIST(10) + fmt + data
+    # header + 6 PCM bytes = 3 frames, but len(data)//2 would say more.
+    trunc = (b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+             + b"LIST" + struct.pack("<I", 10) + b"INFOxxxxxx"
+             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+             + b"data" + struct.pack("<I", 1000)  # claims 500 frames
+             + struct.pack("<3h", 100, -100, 50))  # only 3 present
+    assert mm._wav_pcm_bytes(trunc) == 6
+    _c, _w, _r, n_frames2, rms2 = mm.decode_wav(trunc)
+    assert n_frames2 == 3
+    assert rms2 > 0  # RMS computed over exactly the present PCM
+
 
 def test_frame_sample_caps_fanout_on_real_audio(spark):
     """A long real WAV must sample at most max_samples frames instead of

@@ -296,3 +296,58 @@ def test_quarantine_replay_shortened_page_stays_quarantined(spark, tmp_path_fact
     res = replay_quarantined(spark, out, shorter, run_id="short")
     assert res == {"replayed_blocks": 1, "healed_blocks": 0, "still_quarantined": 1}
     assert quarantined(spark.read.parquet(f"{out}/records")).count() == 1
+
+def test_resolved_marker_does_not_mask_future_failures(spark, tmp_path_factory):
+    """ADVICE r6 (medium): masking is recency-scoped. Heal a block, then a
+    LATER append-only run re-extracts the re-crawled page and the same
+    (url, block_index) fails again — the fresh 'q' row must surface in
+    quarantined() (the old unscoped anti-join masked it forever), and a
+    replay driven at the new failure must heal it."""
+    import json as _json
+    import time as _time
+
+    from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
+    from jsonld_rs_spark.pipeline.materialize import replay_quarantined
+    from jsonld_rs_spark.pipeline.triples import extract_records, quarantined
+
+    good = {"@context": {"@vocab": "http://s.example/"}, "@id": "http://e/ok", "name": "fine"}
+    poisoned = {"@context": "https://missing.example/ctx", "@id": "http://e/p3"}
+
+    def page(url, *docs):
+        html = "".join(
+            f'<script type="application/ld+json">{_json.dumps(d)}</script>'
+            for d in docs
+        )
+        return (url, html.encode())
+
+    url = "http://pg.example/recrawl"
+    pages = spark.createDataFrame([page(url, good, poisoned)], "url string, html binary")
+    out = str(tmp_path_factory.mktemp("replay_recency"))
+    extract_and_materialize(pages, out, run_id="main")
+    assert quarantined(spark.read.parquet(f"{out}/records")).count() == 1
+
+    fixed = dict(BUILTIN_CONTEXTS)
+    fixed["https://missing.example/ctx"] = {"@context": {"@vocab": "http://s.example/"}}
+    res = replay_quarantined(spark, out, pages, store=fixed, run_id="heal")
+    assert res["healed_blocks"] == 1
+    assert quarantined(spark.read.parquet(f"{out}/records")).count() == 0
+
+    # later append-only run: the re-crawled page's block 1 now references a
+    # context the store doesn't have → same (url, block_index) fails anew
+    refail = {"@context": "https://missing.example/ctx2", "@id": "http://e/p3"}
+    recrawl = spark.createDataFrame([page(url, good, refail)], "url string, html binary")
+    rec2 = extract_records(recrawl, stage="extract").withColumn(
+        "run_id", F.lit("recrawl")
+    ).withColumn("run_ts", F.lit(float(_time.time())))
+    rec2.write.mode("append").parquet(f"{out}/records")
+
+    q = quarantined(spark.read.parquet(f"{out}/records")).collect()
+    assert len(q) == 1
+    assert (q[0]["url"], q[0]["block_index"]) == (url, 1)
+
+    # and the fresh failure is replayable: fix ctx2, replay heals it again
+    fixed2 = dict(fixed)
+    fixed2["https://missing.example/ctx2"] = {"@context": {"@vocab": "http://s.example/"}}
+    res2 = replay_quarantined(spark, out, recrawl, store=fixed2, run_id="heal2")
+    assert res2["replayed_blocks"] == 1 and res2["healed_blocks"] == 1
+    assert quarantined(spark.read.parquet(f"{out}/records")).count() == 0
