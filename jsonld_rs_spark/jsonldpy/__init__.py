@@ -27,6 +27,7 @@ from .rdf import (
 )
 from .compact import compact_core, compact_document
 from .flatten import flatten
+from .nquads import NQuadsParseError, parse_nquads
 from .urdna2015 import canonical_labels, canonical_nquads, canonicalize_dataset, nquad_line
 
 __all__ = [
@@ -56,4 +57,6 @@ __all__ = [
     "canonical_nquads",
     "canonicalize_dataset",
     "nquad_line",
+    "NQuadsParseError",
+    "parse_nquads",
 ]

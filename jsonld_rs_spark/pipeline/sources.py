@@ -62,3 +62,94 @@ def read_pages(spark: SparkSession, source: str, replicate: int = 1) -> DataFram
     if looks_like_table:
         return spark.read.table(source).select(*PAGES_COLUMNS)
     return spark.read.parquet(source).select(*PAGES_COLUMNS)
+
+
+# --------------------------------------------------------------------------- #
+# N-Quads source (RDF 1.1 N-Quads, W3C REC) — quads interchange with other
+# RDF systems. Line-based: Spark's text source splits on line boundaries, so
+# a 100 TB dump parallelizes for free (each partition parses independently,
+# no cross-line state). Malformed lines land in the quarantine channel like
+# extraction errors do (rec_kind 'q'), never killing a task.
+# --------------------------------------------------------------------------- #
+
+NQ_RECORDS_SCHEMA = (
+    "rec_kind string, src string, graph string, subj string, pred string, "
+    "obj_kind string, obj_value string, obj_datatype string, obj_lang string, "
+    "error string"
+)
+
+
+def read_nquads_records(spark: SparkSession, path: str, generalized: bool = False) -> DataFrame:
+    """Parse N-Quads files at ``path`` into quad records.
+
+    Output rows: rec_kind 't' carries one quad (graph '@default' for the
+    default graph, matching the jsonldpy Dataset convention); rec_kind 'q'
+    carries a malformed line verbatim in ``obj_value`` with the parse error
+    in ``error`` — replayable per the pipeline containment rule, the same
+    policy as extraction (triples.py quarantine channel). ``src`` is the
+    originating file.
+
+    ``generalized=True`` admits blank-node predicates (the engine's own
+    toRDF emits them for the generalized-RDF quirk; strict mode matches the
+    REC grammar)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).withColumn("src", F.input_file_name())
+
+    def run(batches):
+        import pandas as pd
+
+        from jsonld_rs_spark.jsonldpy.nquads import NQuadsParseError, parse_nquads
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "rec_kind", "src", "graph", "subj", "pred",
+                "obj_kind", "obj_value", "obj_datatype", "obj_lang", "error",
+            )}
+            for line, src in zip(pdf["value"], pdf["src"]):
+                stripped = line.strip()
+                if not stripped or stripped.startswith("#"):
+                    continue
+                try:
+                    ds = parse_nquads(line, generalized=generalized)
+                except (NQuadsParseError, ValueError) as exc:
+                    out["rec_kind"].append("q")
+                    out["src"].append(src)
+                    out["graph"].append(None)
+                    out["subj"].append(None)
+                    out["pred"].append(None)
+                    out["obj_kind"].append(None)
+                    out["obj_value"].append(line)
+                    out["obj_datatype"].append(None)
+                    out["obj_lang"].append(None)
+                    out["error"].append(str(exc))
+                    continue
+                for graph, quads in ds.items():
+                    for q in quads:
+                        out["rec_kind"].append("t")
+                        out["src"].append(src)
+                        out["graph"].append(graph)
+                        out["subj"].append(q.subj)
+                        out["pred"].append(q.pred)
+                        out["obj_kind"].append(q.obj_kind)
+                        out["obj_value"].append(q.obj_value)
+                        out["obj_datatype"].append(q.obj_datatype)
+                        out["obj_lang"].append(q.obj_lang)
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(run, schema=NQ_RECORDS_SCHEMA)
+
+
+def read_nquads(spark: SparkSession, path: str, generalized: bool = False) -> DataFrame:
+    """The quads view of :func:`read_nquads_records` (parsed rows only),
+    shaped like the pipeline triples table minus ``url``. Callers that need
+    the malformed lines read the records and filter rec_kind 'q'."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_nquads_records(spark, path, generalized=generalized)
+        .filter(F.col("rec_kind") == "t")
+        .select("src", "graph", "subj", "pred", "obj_kind", "obj_value",
+                "obj_datatype", "obj_lang")
+    )

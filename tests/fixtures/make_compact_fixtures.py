@@ -1654,6 +1654,7 @@ NEGATIVE_CASES = [
 # ---------------------------------------------------------------------------
 
 _E = "http://e.example/"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
 _XS = "http://www.w3.org/2001/XMLSchema#"
 
 SPEC_CASES += [
@@ -1996,6 +1997,245 @@ SPEC_CASES += [
         {
             "@context": {"p": {"@id": _E + "p", "@container": "@index"}},
             "p": {"i1": {"@list": ["a"], "@index": "i1"}},
+        },
+    ),
+    # ---- r7: branches no prior case executed (tools/manifest_coverage.py) --
+    (
+        "cs047",
+        "an EMPTY list's term selection uses the default @language (1.0 "
+        "IRI-compaction 2.6.3: no items, common language = default)",
+        [{"@id": _E + "x", _E + "tags": [{"@list": []}]}],
+        {
+            "@context": {
+                "@language": "en",
+                "lde": {"@id": _E + "tags", "@container": "@list", "@language": "de"},
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"},
+            }
+        },
+        {},
+        # default language "en" keys the language map of the @list container;
+        # "lde" would win a tie (shorter-then-lex order puts it first) but the
+        # "en" entry belongs to "len"
+        {
+            "@context": {
+                "@language": "en",
+                "lde": {"@id": _E + "tags", "@container": "@list", "@language": "de"},
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"},
+            },
+            "@id": _E + "x",
+            "len": [],
+        },
+    ),
+    (
+        "cs048",
+        "a MIXED-language list still lands on the language list term via the "
+        "off-spec @none patch (compact.rs:180-196); mismatching items keep "
+        "their @value form",
+        [
+            {
+                "@id": _E + "x",
+                _E + "tags": [
+                    {
+                        "@list": [
+                            {"@value": "a", "@language": "en"},
+                            {"@value": "b", "@language": "de"},
+                        ]
+                    }
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"}
+            }
+        },
+        {},
+        # common language degrades to @none (items disagree); the spec would
+        # reject the term, but the reference's empty-list patch files the
+        # term under @none too, so "len" is still selected. Item-level value
+        # compaction then applies per item: "a"@en matches the term language
+        # and goes bare; "b"@de keeps its tagged object.
+        {
+            "@context": {
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"}
+            },
+            "@id": _E + "x",
+            "len": ["a", {"@value": "b", "@language": "de"}],
+        },
+    ),
+    (
+        "cs049",
+        "a list mixing languages AND datatypes short-circuits to (@none, "
+        "@none); typed items keep explicit @type objects",
+        [
+            {
+                "@id": _E + "x",
+                _E + "tags": [
+                    {
+                        "@list": [
+                            {"@value": "s1", "@language": "en"},
+                            {"@value": "1", "@type": _XSD + "integer"},
+                            {"@value": "s2", "@language": "de"},
+                            {"@value": "2", "@type": _XSD + "double"},
+                        ]
+                    }
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"}
+            }
+        },
+        {},
+        # after item 3 both common language and common type are @none (the
+        # walk breaks early — item 4 cannot change the outcome); the @none
+        # patch again keeps "len" selected, items compact individually
+        {
+            "@context": {
+                "len": {"@id": _E + "tags", "@container": "@list", "@language": "en"}
+            },
+            "@id": _E + "x",
+            "len": [
+                "s1",
+                {"@type": _XSD + "integer", "@value": "1"},
+                {"@value": "s2", "@language": "de"},
+                {"@type": _XSD + "double", "@value": "2"},
+            ],
+        },
+    ),
+    (
+        "cs050",
+        "double-compaction probe: a node ref whose @id compacts to a term "
+        "for that exact IRI prefers the @type:@vocab term (compact.rs:775-795)",
+        [
+            {
+                "@id": _E + "x",
+                "http://v.example/rel": [{"@id": "http://v.example/target"}],
+            }
+        ],
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "target": "http://v.example/target",
+                "byid": {"@id": "http://v.example/rel", "@type": "@id"},
+                "byvocab": {"@id": "http://v.example/rel", "@type": "@vocab"},
+            }
+        },
+        {},
+        # probe: compacting the value's @id yields "target", a term mapping
+        # exactly that IRI → preferred order becomes @vocab, @id, @none →
+        # "byvocab" wins and the value renders as the bare term
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "target": "http://v.example/target",
+                "byid": {"@id": "http://v.example/rel", "@type": "@id"},
+                "byvocab": {"@id": "http://v.example/rel", "@type": "@vocab"},
+            },
+            "@id": _E + "x",
+            "byvocab": "target",
+        },
+    ),
+    (
+        "cs051",
+        "the probe's other arm: a node ref that does NOT compact to a term "
+        "prefers @type:@id, so the same property routes through byid",
+        [
+            {
+                "@id": _E + "x",
+                "http://v.example/rel": [{"@id": "http://other.example/y"}],
+            }
+        ],
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "target": "http://v.example/target",
+                "byid": {"@id": "http://v.example/rel", "@type": "@id"},
+                "byvocab": {"@id": "http://v.example/rel", "@type": "@vocab"},
+            }
+        },
+        {},
+        # probe: "http://other.example/y" compacts to no term → preferred
+        # order @id, @vocab, @none → "byid" wins; the IRI stays absolute
+        {
+            "@context": {
+                "@vocab": "http://v.example/",
+                "target": "http://v.example/target",
+                "byid": {"@id": "http://v.example/rel", "@type": "@id"},
+                "byvocab": {"@id": "http://v.example/rel", "@type": "@vocab"},
+            },
+            "@id": _E + "x",
+            "byid": "http://other.example/y",
+        },
+    ),
+    (
+        "cs052",
+        "a three-member value object (@value+@type+@index, no index "
+        "container) survives as an object with its @type compacted",
+        [
+            {
+                "@id": _E + "x",
+                _E + "p": [
+                    {"@value": "v", "@type": _E + "T", "@index": "i"}
+                ],
+            }
+        ],
+        {"@context": {"p": _E + "p"}},
+        {},
+        # member count 3 > 2 → value compaction copies the object; the dict
+        # walk then compacts the @type IRI (no term/vocab → stays absolute)
+        {
+            "@context": {"p": _E + "p"},
+            "@id": _E + "x",
+            "p": {"@index": "i", "@type": _E + "T", "@value": "v"},
+        },
+    ),
+    (
+        "cs053",
+        "a node reference carrying @index under a @type:@id term keeps "
+        "object form (two members defeat the bare-string rule)",
+        [
+            {
+                "@id": _E + "x",
+                _E + "rel": [{"@id": _E + "y", "@index": "i"}],
+            }
+        ],
+        {"@context": {"rel": {"@id": _E + "rel", "@type": "@id"}}},
+        {},
+        {
+            "@context": {"rel": {"@id": _E + "rel", "@type": "@id"}},
+            "@id": _E + "x",
+            "rel": {"@id": _E + "y", "@index": "i"},
+        },
+    ),
+    (
+        "cs054",
+        "a third same-tag value appends to the existing language-map array",
+        [
+            {
+                "@id": _E + "x",
+                _E + "label": [
+                    {"@value": "cat", "@language": "en"},
+                    {"@value": "dog", "@language": "en"},
+                    {"@value": "rat", "@language": "en"},
+                ],
+            }
+        ],
+        {
+            "@context": {
+                "lbl": {"@id": _E + "label", "@container": "@language"}
+            }
+        },
+        {},
+        # first value seeds the entry, second turns it into an array, third
+        # exercises the append-to-existing-array arm
+        {
+            "@context": {
+                "lbl": {"@id": _E + "label", "@container": "@language"}
+            },
+            "@id": _E + "x",
+            "lbl": {"en": ["cat", "dog", "rat"]},
         },
     ),
 ]

@@ -222,6 +222,36 @@ from jsonld_rs_spark.jsonldpy.compact import compact_core as _core
             {"@id": "http://e/x", "http://e/p": [{"@list": ["bare"]}]},
             "list_item_not_object",
         ),
+        (
+            "list item language not a string",
+            {"p": {"@id": "http://e/p", "@container": "@list"}},
+            {"@id": "http://e/x", "http://e/p": [{"@list": [{"@value": "v", "@language": 5}]}]},
+            "language_not_string",
+        ),
+        (
+            "list item type not a string",
+            {"p": {"@id": "http://e/p", "@container": "@list"}},
+            {"@id": "http://e/x", "http://e/p": [{"@list": [{"@value": "v", "@type": 5}]}]},
+            "type_not_string",
+        ),
+        (
+            "node-ref @id not a string at term selection (probe arm)",
+            {"p": {"@id": "http://e/p"}},
+            {"@id": "http://e/x", "http://e/p": [{"@id": 5}]},
+            "id_not_string",
+        ),
+        (
+            "value @type not a string at term selection",
+            {"p": {"@id": "http://e/p"}},
+            {"@id": "http://e/x", "http://e/p": [{"@value": "v", "@type": 5}]},
+            "type_not_string",
+        ),
+        (
+            "value @language not a string under a language-mapped term",
+            {"p": {"@id": "http://e/p", "@language": "en"}},
+            {"@id": "http://e/x", "http://e/p": [{"@value": "v", "@language": ["en"]}]},
+            "language_not_string",
+        ),
     ],
 )
 def test_compact_core_guards_malformed_expanded_input(name, ctx, element, code):

@@ -271,3 +271,71 @@ def test_extraction_metrics_gate_trips_on_error_explosion(spark, sf_dir, monkeyp
     monkeypatch.setattr(triples_mod, "split_records", broken_split)
     with pytest.raises(AssertionError, match="err_jsonld"):
         e.kg_extraction_metrics(spark, sf_dir)
+
+
+def test_nquads_source_parses_and_quarantines(spark, tmp_path_factory):
+    """read_nquads_records: good lines become quad rows (graph-keyed),
+    malformed lines land in the quarantine channel with the line verbatim —
+    a bad line must never kill the scan (pipeline containment rule)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_rs_spark.pipeline.sources import read_nquads, read_nquads_records
+
+    d = tmp_path_factory.mktemp("nq")
+    (d / "a.nq").write_text(
+        '<http://e/s> <http://e/p> "v" .\n'
+        "# comment\n"
+        '<http://e/s> <http://e/p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> <http://e/g> .\n'
+        "<http://e/s> <malformed line\n"
+        '_:b <http://e/q> "x"@en .\n'
+    )
+    rec = read_nquads_records(spark, str(d))
+    rows = rec.collect()
+    quads = [r for r in rows if r["rec_kind"] == "t"]
+    bad = [r for r in rows if r["rec_kind"] == "q"]
+    assert len(quads) == 3 and len(bad) == 1
+    assert bad[0]["obj_value"].startswith("<http://e/s> <malformed")
+    assert "line 1" in bad[0]["error"]  # parser reports within-line position
+    graphs = {r["graph"] for r in quads}
+    assert graphs == {"@default", "http://e/g"}
+    typed = [r for r in quads if r["obj_datatype"] and r["obj_datatype"].endswith("integer")]
+    assert len(typed) == 1 and typed[0]["obj_value"] == "5"
+
+    # quads view drops the quarantine channel and the rec_kind column
+    qdf = read_nquads(spark, str(d))
+    assert qdf.count() == 3
+    assert "error" not in qdf.columns
+
+    # strict mode rejects blank predicates; generalized admits them
+    (d / "b.nq").write_text("_:s _:p <http://o> .\n")
+    strict = read_nquads_records(spark, str(d / "b.nq"))
+    assert strict.filter(F.col("rec_kind") == "q").count() == 1
+    loose = read_nquads_records(spark, str(d / "b.nq"), generalized=True)
+    assert loose.filter(F.col("rec_kind") == "t").count() == 1
+
+
+def test_nquads_source_roundtrips_canonical_fixture(spark, tmp_path_factory):
+    """Reading a committed canonical toRDF output through the Spark source
+    and re-serializing reproduces the file bit-exact — the distributed scan
+    agrees with the in-process parser."""
+    import os
+
+    from jsonld_rs_spark.jsonldpy import canonical_nquads
+    from jsonld_rs_spark.jsonldpy.rdf import Quad
+    from jsonld_rs_spark.pipeline.sources import read_nquads
+
+    fix = os.path.join(
+        os.path.dirname(__file__), "fixtures", "toRdf", "t0105-out.nq"
+    )
+    with open(fix) as f:
+        text = f.read()
+    d = tmp_path_factory.mktemp("nq_rt")
+    (d / "fixture.nq").write_text(text)
+    rows = read_nquads(spark, str(d)).collect()
+    ds = {}
+    for r in rows:
+        ds.setdefault(r["graph"], []).append(
+            Quad(r["subj"], r["pred"], r["obj_kind"], r["obj_value"],
+                 r["obj_datatype"], r["obj_lang"])
+        )
+    assert canonical_nquads(ds) == text
