@@ -2238,6 +2238,33 @@ SPEC_CASES += [
             "lbl": {"en": ["cat", "dog", "rat"]},
         },
     ),
+    (
+        "cs055",
+        "a CURIE candidate that is ITSELF a term for the same IRI is "
+        "accepted in vocab position even though its own container entry "
+        "cannot be selected",
+        [{"@id": _E + "x", "@type": ["http://e.example/ns#b"]}],
+        {
+            "@context": {
+                "a": "http://e.example/ns#",
+                "a:b": {"@id": "http://e.example/ns#b", "@container": "@list"},
+            }
+        },
+        {},
+        # @type compaction: the inverse context files "a:b" only under the
+        # @list container, so term selection (@set/@none) fails; the CURIE
+        # loop then generates "a:b" from prefix "a", and the candidate-
+        # collision filter ADMITS it because the existing term maps the
+        # same IRI and the value position is None (type position)
+        {
+            "@context": {
+                "a": "http://e.example/ns#",
+                "a:b": {"@id": "http://e.example/ns#b", "@container": "@list"},
+            },
+            "@id": _E + "x",
+            "@type": "a:b",
+        },
+    ),
 ]
 
 

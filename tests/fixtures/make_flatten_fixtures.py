@@ -682,6 +682,47 @@ SPEC_CASES += [
             }
         ],
     ),
+    (
+        "fs021",
+        "a reverse edge APPENDS to the target's existing forward values and "
+        "duplicate reverse targets dedup (nodemap reverse-edge arms)",
+        [
+            {"@id": _E + "y", _E + "p": {"@id": _E + "z"}},
+            {
+                "@id": _E + "x",
+                "@reverse": {
+                    _E + "p": [{"@id": _E + "y"}, {"@id": _E + "y"}]
+                },
+            },
+        ],
+        # y already holds p:[z] when the reverse edge arrives, so x appends
+        # (order: insertion); the second y reference dedups. x itself has no
+        # properties and drops; z is reference-only and drops.
+        [
+            {
+                "@id": _E + "y",
+                _E + "p": [{"@id": _E + "z"}, {"@id": _E + "x"}],
+            }
+        ],
+    ),
+    (
+        "fs022",
+        "identical @list values do NOT dedup: lists always append, unlike "
+        "plain values (nodemap.rs list handling vs value dedup :384-387)",
+        {
+            "@id": _E + "x",
+            _E + "p": [{"@list": ["a"]}, {"@list": ["a"]}],
+        },
+        [
+            {
+                "@id": _E + "x",
+                _E + "p": [
+                    {"@list": [{"@value": "a"}]},
+                    {"@list": [{"@value": "a"}]},
+                ],
+            }
+        ],
+    ),
 ]
 
 

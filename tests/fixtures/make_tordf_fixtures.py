@@ -1831,6 +1831,36 @@ SPEC_CASES += [
         "_:c14n1 <" + _RDF + "first> \"a\" .\n"
         "_:c14n1 <" + _RDF + "rest> <" + _RDF + "nil> .\n",
     ),
+    (
+        "tr061",
+        "relative reference corners resolve per RFC 3986: dot segments, "
+        "query-only, fragment-only, and the empty reference",
+        {
+            "@id": "rel/../x",
+            "http://e/p": [{"@id": "?q"}, {"@id": "#frag"}, {"@id": ""}],
+        },
+        # base = https://w3c.example/tests/tr061-in.jsonld; lines sort as
+        # full strings, so '#'(0x23) < '>'(0x3E) < '?'(0x3F) orders
+        # fragment, plain, query
+        "<https://w3c.example/tests/x> <http://e/p> <https://w3c.example/tests/tr061-in.jsonld#frag> .\n"
+        "<https://w3c.example/tests/x> <http://e/p> <https://w3c.example/tests/tr061-in.jsonld> .\n"
+        "<https://w3c.example/tests/x> <http://e/p> <https://w3c.example/tests/tr061-in.jsonld?q> .\n",
+    ),
+    (
+        "tr062",
+        "duplicate @reverse targets dedup to ONE quad while duplicate "
+        "forward node refs keep BOTH lines (nodemap.rs:384-387 vs :460)",
+        {
+            "@id": "http://e/x",
+            "@reverse": {
+                "http://e/p": [{"@id": "http://e/y"}, {"@id": "http://e/y"}]
+            },
+            "http://e/q": [{"@id": "http://e/z"}, {"@id": "http://e/z"}],
+        },
+        "<http://e/x> <http://e/q> <http://e/z> .\n"
+        "<http://e/x> <http://e/q> <http://e/z> .\n"
+        "<http://e/y> <http://e/p> <http://e/x> .\n",
+    ),
 ]
 
 

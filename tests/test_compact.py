@@ -258,3 +258,42 @@ def test_compact_core_guards_malformed_expanded_input(name, ctx, element, code):
     with _pytest.raises(_E.CompactionError) as ei:
         _core(ctx, element)
     assert ei.value.code == code, name
+
+
+# ---------------------------------------------------------------------------
+# Arms only reachable through compact_core with hand-fed expanded input:
+# expansion can never emit "@language": null or bare scalars in property
+# arrays, but compact_core is public API and the reference handles both
+# (Value::Null language arms compact.rs:883-900; scalar fallthrough
+# compact.rs:275-280) — parity pins, not spec conformance.
+# ---------------------------------------------------------------------------
+
+
+def test_compact_core_null_language_value_errors_at_selection():
+    """ASYMMETRY pinned from the reference: a null @language in a NON-list
+    value object errors at term selection (compact.rs:741-744 uses
+    as_str().ok_or(LanguageNotString)), while the same null inside a LIST
+    item maps to "@null" and selects a null-language term (Value::Null arm,
+    compact.rs:687). Both arms below."""
+    with _pytest.raises(_E.CompactionError) as ei:
+        _core(
+            {"pn": {"@id": "http://e/p", "@language": None}},
+            [{"@id": "http://e/x", "http://e/p": [{"@value": "x", "@language": None}]}],
+        )
+    assert ei.value.code == "language_not_string"
+
+
+def test_compact_core_null_language_list_items_select_null_language_list_term():
+    out = _core(
+        {"ln": {"@id": "http://e/p", "@container": "@list", "@language": None}},
+        [{"@id": "http://e/x", "http://e/p": [{"@list": [{"@value": "x", "@language": None}]}]}],
+    )
+    assert out["ln"] == ["x"]
+
+
+def test_compact_core_bare_scalar_in_property_array_passes_through():
+    out = _core(
+        {"p": "http://e/p"},
+        [{"@id": "http://e/x", "http://e/p": ["bare"]}],
+    )
+    assert out["p"] == "bare"

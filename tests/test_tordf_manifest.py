@@ -41,6 +41,7 @@ ROUNDTRIP_LOSSY = {
     # (a) duplicate identical quad lines dedup in the fromRDF node map
     "#t0008": "dup node-ref lines dedup",
     "#t0093": "dup node-ref lines dedup",
+    "#tr062": "dup node-ref lines dedup",
     # (b) named graph whose label is not a default-graph subject is DROPPED
     # by fromRDF (reference quirk rdf.rs:486-509, rdf_to_jsonld docstring)
     **{

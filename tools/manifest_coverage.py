@@ -71,6 +71,15 @@ def run_all() -> None:
             canonical_nquads(jsonld_to_rdf(expand(doc, base=base), DefaultNodeGenerator()))
         except errors.JsonLdError:
             pass
+    # fromRdf
+    from jsonld_rs_spark.jsonldpy import parse_nquads, rdf_to_jsonld
+    man = _load("fromRdf", "manifest.jsonld")
+    for seq in man["sequence"]:
+        with open(os.path.join(FIX, "fromRdf", seq["input"])) as f:
+            ds = parse_nquads(f.read())
+        opt = seq.get("option", {})
+        rdf_to_jsonld(ds, use_native_types=opt.get("useNativeTypes", False),
+                      use_rdf_type=opt.get("useRdfType", False))
     # flatten
     man = _load("flatten", "manifest.jsonld")
     for seq in man["sequence"]:
