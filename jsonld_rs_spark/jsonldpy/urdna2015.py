@@ -313,7 +313,20 @@ class _Canonicalizer:
         order WOULD produce (hypothetical counter = the canonical issuer's
         current state — identical for every candidate of a tie group),
         already-canonical labels kept, all other blanks collapsed to _:z.
-        Input-label-independent by construction."""
+        Input-label-independent by construction.
+
+        Known residual (ADVICE r6, accepted risk): because not-yet-labeled
+        blanks OUTSIDE the candidate's issuance order all collapse to the
+        single marker _:z, two non-automorphic candidates can in principle
+        still serialize identically — when their difference lives entirely
+        in how they connect to a THIRD unlabeled tie group — and the sort
+        then falls back to n-degree-hash order alone, i.e. input order. No
+        fixture in the 47-case suite (incl. the two-pair bucket c0047)
+        reaches this: a same-bucket pair's quads are serialized while the
+        OTHER pair is still _:z, but the candidates of one pair differ in
+        their OWN labels, which is enough. If it ever bites, the fix is to
+        recurse: re-serialize after hypothetically issuing the colliding
+        neighbors instead of collapsing them to _:z."""
         hypothetical = self.canonical.copy()
         bmap = {b: hypothetical.issue(b) for b in result_issuer.order}
         bmap.update(self.canonical.issued)
@@ -338,7 +351,21 @@ class _Canonicalizer:
 def canonical_labels(
     gquads: Iterable[GQuad], work_budget: int = DEFAULT_WORK_BUDGET
 ) -> Dict[str, str]:
-    """Map every blank-node label in the dataset to its ``_:c14nN`` label."""
+    """Map every blank-node label in the dataset to its ``_:c14nN`` label.
+
+    INTEROP NOTE (r6/r7): this implementation goes beyond URDNA2015 /
+    RDFC-1.0 on one degenerate class. When blank GRAPH labels make the
+    n-degree hashes of NON-automorphic nodes collide (fixtures
+    c0044/c0046/c0047), the published algorithm's bare result sort leaves
+    the labeling dependent on input label order — one dataset, several
+    "canonical" forms, so no single spec-conformant answer exists there
+    and third-party implementations will disagree with each other as well
+    as with us. We apply a content-derived tie-break (``_tie_key``) that
+    picks ONE relabeling-invariant form. On every dataset where n-degree
+    hashes are distinct or tied nodes are genuinely automorphic — i.e.
+    everything the public test suites exercise — output is byte-identical
+    to a conformant implementation. Hand-derived cross-check:
+    tests/test_canon_derivation.py."""
     return _Canonicalizer(list(gquads), work_budget).run()
 
 

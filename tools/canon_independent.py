@@ -142,7 +142,16 @@ def _tie_key(state, result_issuer):
     """Serialize the quads touching this result's nodes under the labels its
     issuance order WOULD produce (hypothetical counter = current canonical
     state, identical for every candidate of a tie group); already-canonical
-    labels kept, other blanks collapsed to _:z."""
+    labels kept, other blanks collapsed to _:z.
+
+    INDEPENDENCE CAVEAT (ADVICE r6): this tie-break mirrors the engine's
+    beyond-spec rule, so for the collision fixtures (c0044/c0046/c0047)
+    this twin does NOT independently validate the rule — a shared bug in
+    the rule itself would be invisible here. The independent check for
+    those fixtures is tests/test_canon_derivation.py, which re-derives
+    c0044's expected bytes longhand from spec steps + the documented rule
+    with no shared code. Everything spec-covered (distinct hashes,
+    genuine automorphism) IS independently validated by this twin."""
     hypo = state["canon"].clone()
     bmap = {b: hypo.issue(b) for b in result_issuer.order}
     bmap.update(state["canon"].map)
