@@ -181,7 +181,10 @@ def kg_throughput(spark, sf_dir, replicate: int = None, trials: int = 3):
     pages.unpersist()
     times.sort()
     dt = times[len(times) // 2]
-    return n_triples / dt, n_triples, dt
+    # the sorted per-trial walls travel with the estimate: a stolen trial
+    # shows up as spread in the recorded line (divergence attribution,
+    # VERDICT r6 #3) instead of hiding inside the median
+    return n_triples / dt, n_triples, dt, [round(x, 3) for x in times]
 
 
 def stage_breakdown(sf_dir: str, n_docs: int = 1000) -> dict:
@@ -267,7 +270,32 @@ def main() -> None:
     # accumulated JVM state (checkpoint RDDs, GC debt), not the engine —
     # observed 398k after the sweep vs 605k in a fresh JVM, same window.
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
-    tps, n_triples, extract_sec = kg_throughput(spark, SF_DIR, replicate=replicate)
+    # Bracket the in-process throughput with its own window probes
+    # (VERDICT r6 #3): the r6 driver line diverged 1.43x between the
+    # in-process and fresh-subprocess estimators of this very number, and
+    # the only probes in the line were minutes away from this window — the
+    # gap could not be attributed from the artifact. One probe-justified
+    # retry: when either bracket reads contended, the median is measuring
+    # the neighbors, so re-run once after the spike and keep the run whose
+    # brackets are quieter (never the faster run per se — window quality,
+    # not outcome, picks).
+    tput_probe_pre = _window_probe(CPUS)
+    tps, n_triples, extract_sec, tput_trials = kg_throughput(
+        spark, SF_DIR, replicate=replicate
+    )
+    tput_probe_post = _window_probe(CPUS)
+    tput_retried = False
+    if not (_probe_quiet(tput_probe_pre) and _probe_quiet(tput_probe_post)):
+        time.sleep(5)
+        pre2 = _window_probe(CPUS)
+        tps2, n2, dt2, trials2 = kg_throughput(spark, SF_DIR, replicate=replicate)
+        post2 = _window_probe(CPUS)
+        tput_retried = True
+        if pre2["speedup"] + post2["speedup"] > (
+            tput_probe_pre["speedup"] + tput_probe_post["speedup"]
+        ):
+            tps, n_triples, extract_sec, tput_trials = tps2, n2, dt2, trials2
+            tput_probe_pre, tput_probe_post = pre2, post2
 
     # Per-query window attestation (VERDICT r3 #1): the global probes below
     # are point-in-time while the headline queries run over minutes — a
@@ -356,6 +384,9 @@ def main() -> None:
         "n_triples": n_triples,
         "extract_sec": round(extract_sec, 3),
         "throughput_replicate": replicate,
+        "throughput_probes": {"pre": tput_probe_pre, "post": tput_probe_post},
+        "throughput_trials_sec": tput_trials,
+        "throughput_retried": tput_retried,
         "host_noise_probe_sec": noise_probe,
         "host_parallel_speedup": parallel_speedup,
         "stage_breakdown": stage_breakdown(SF_DIR),
@@ -439,10 +470,51 @@ def main() -> None:
             3,
         )
         result["triples_per_sec_divergence"] = div
-        if div > 1.5:
+        if div > 1.3:
+            # threshold tightened 1.5 → 1.3 (VERDICT r6 #3: r6 recorded
+            # 1.429 unflagged — "just under" a loose flag is still a line
+            # whose two estimators disagree by 43%)
             result["triples_per_sec_divergence_flag"] = (
-                "estimator max/median > 1.5x — contended window, re-run"
+                "estimator max/median > 1.3x — contended window, re-run"
             )
+        if div > 1.15:
+            # Automatic attribution (VERDICT r6 #3): when the two
+            # estimators of the same quantity disagree >15%, say WHICH
+            # window was bad from the probes already in this line, instead
+            # of leaving the gap for the reader to re-derive.
+            inproc_quiet = _probe_quiet(tput_probe_pre) and _probe_quiet(
+                tput_probe_post
+            )
+            sub_quiet = probes[key] >= 0.4 * CPUS
+            spread = round(max(tput_trials) / max(min(tput_trials), 1e-9), 2)
+            if not inproc_quiet and sub_quiet:
+                why = (
+                    "in-process bracket probes contended, subprocess window "
+                    "quiet — the gap is host steal during the in-process "
+                    "trials; the subprocess figure is the engine"
+                )
+            elif inproc_quiet and not sub_quiet:
+                why = (
+                    "subprocess probe contended, in-process brackets quiet — "
+                    "best-of may still UNDER-estimate; re-run scaling"
+                )
+            elif not inproc_quiet:
+                why = "both windows contended — whole line suspect, re-run"
+            else:
+                why = (
+                    f"both windows probe quiet (trial spread {spread}x) — "
+                    "divergence not explained by the probes; treat the "
+                    "conservative in-process figure as the headline"
+                )
+            result["triples_per_sec_divergence_attribution"] = {
+                "inprocess_brackets_quiet": inproc_quiet,
+                "inprocess_trial_spread": spread,
+                "subprocess_probe_speedup": probes[key],
+                "verdict": why,
+            }
+            if inproc_quiet and sub_quiet:
+                # unexplained divergence: do NOT let the favorable half win
+                result["triples_per_sec"] = result["triples_per_sec_inprocess"]
         # estimator CHANGED in round 4 (was: in-process median, measured
         # after the query sweep) — recorded in-line so BENCH_r* files stay
         # self-describing across rounds
@@ -546,7 +618,7 @@ def _throughput_subprocess(cpus: int, replicate: int):
         "import bench\n"
         "s = bench.make_spark({cpus}); s.sparkContext.setLogLevel('ERROR')\n"
         "bench.warm_python_workers(s, {cpus})\n"
-        "tps, n, dt = bench.kg_throughput(s, {sf!r}, replicate={replicate})\n"
+        "tps, n, dt, tri = bench.kg_throughput(s, {sf!r}, replicate={replicate})\n"
         "# best-of-2 burns: the 1-thread denominator must not be poisoned by\n"
         "# a sub-second steal spike (CLAUDE.md window rule applies to it too)\n"
         "r1 = max(bench._timed_burn(2_000_000) for _ in range(2))\n"
@@ -610,6 +682,17 @@ def _window_probe(cpus: int, burn: int = 1_000_000) -> dict:
         "noise_sec": round(2_000_000 / rate1, 3),
         "speedup": _parallel_speedup(cpus, rate1, per=200_000),
     }
+
+
+def _probe_quiet(probe: dict, cpus: int = None) -> bool:
+    """Window-quality test for a _window_probe sample: quiet means the
+    1-thread burn is in its quiet band (<= 2.0 s normalized; quiet ≈
+    1.0-1.6) AND the width probe reaches at least half the quiet parallel
+    speedup (quiet ≈ 0.8×nproc on this box, so threshold 0.4×nproc).
+    Conservative on purpose: a false 'contended' costs one extra
+    measurement; a false 'quiet' records a stolen window as the engine."""
+    cpus = cpus or CPUS
+    return probe["noise_sec"] <= 2.0 and probe["speedup"] >= 0.4 * cpus
 
 
 def _cpu_ceiling_8_to_32() -> float:
