@@ -320,8 +320,35 @@ def main() -> None:
         ), "kg_components must precede corpus_filter_docs or cc_stats misattributes"
     for name in HEADLINE:
         query_probes[name] = _window_probe(CPUS)
-        dt, _ = _run(queries[name], spark, SF_DIR)
+        dt, nrows = _run(queries[name], spark, SF_DIR)
         per_query[name] = round(dt, 3)
+        if nrows > 100_000:
+            # Large-result attribution (VERDICT r6 #5): the timed wall above
+            # collects every result row through py4j into the Python driver
+            # — for minhash_dup_pairs_docs at sf0.1 that is ~1.23M pair rows,
+            # and a quiet-window experiment showed the engine computes them
+            # in 2.6-3.0 s while the recorded wall reads 7.3-9.2 s (the gap
+            # is py4j serialization + Python tuple materialization, a
+            # harness cost a 100 TB user writing to a sink never pays; it
+            # also explains the r6 "regression" and the warm-up descent).
+            # Record a one-shot digest-only trial (bit_xor of xxhash64 over
+            # all columns: forces every row to be computed JVM-side, ships 1
+            # row back) so the artifact carries the engine-only floor
+            # in-line. Caveat: the aggregate lets Catalyst drop a final
+            # global sort, so engine_sec is a compute floor, not a substitute
+            # headline — the recorded wall stays collect-based for
+            # round-over-round comparability.
+            import gc
+
+            from pyspark.sql import functions as F
+
+            t0 = time.monotonic()
+            d = queries[name](spark, SF_DIR)
+            d.select(F.bit_xor(F.xxhash64(*d.columns))).collect()
+            query_probes[name]["engine_sec"] = round(time.monotonic() - t0, 3)
+            query_probes[name]["collect_rows"] = nrows
+            del d
+            gc.collect()
         if name == "kg_components":
             # kg_components cost attribution (VERDICT r3 #8): snapshot the
             # CC rounds/jobs IMMEDIATELY after its trials — corpus_filter
