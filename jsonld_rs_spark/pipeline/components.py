@@ -258,8 +258,8 @@ def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> Da
        when few rows matched — the common case, since sameAs nodes are a
        small fraction of all triples) and coalesce.
 
-    row_id is md5 over the to_json of all 8 columns: content-derived, so
-    deterministic under task retry/recompute — unlike
+    row_id is unhex(md5) over the to_json of all 8 columns: content-derived,
+    so deterministic under task retry/recompute — unlike
     monotonically_increasing_id — and 128 bits, so hash collisions are not
     a realistic event at any corpus size. to_json (not concat_ws with a
     separator) because literal obj_values may contain ANY character: a
@@ -268,9 +268,26 @@ def canonicalize_subjects(triples_df: DataFrame, components_df: DataFrame) -> Da
     each other's rewrites — JSON escaping is injective for a fixed schema
     (a key is omitted iff its value is null). Duplicate input rows share a
     row_id harmlessly: they melt to identical key rows and receive
-    identical replacements."""
+    identical replacements. BINARY (unhex), not the 32-char hex string:
+    the rid crosses three exchanges (both key-row shuffles + the wide join)
+    and hash bytes are incompressible, so halving them cuts the melt's
+    fixed overhead — measured 621 -> 439 MB shuffle on the r7 skew probe's
+    narrow profile (tools/skew_probe.py; binary also compares faster than
+    hex in the sort-merge).
+
+    Measured trade (r7, tools/skew_probe.py + PLANS.md skew section): on
+    NARROW-literal corpora the joinwise twin shuffles fewer bytes (201 vs
+    439 MB at 3M rows) — the melt's rid machinery outweighs the
+    literals-cross-once saving. On the real-corpus shape (text-entropy
+    literals, +400 B) the melt wins the bytes metric (627 vs 907 MB at
+    1.5M rows) and the margin grows with literal size. Joinwise is
+    wall-faster at local[8] on both profiles because local shuffles move
+    through page cache — bytes, not sandbox walls, are what a 1000-executor
+    network pays. Melt stays the default for the corpus shape this engine
+    targets; joinwise remains available and equivalence-tested, and AQE
+    broadcasts the components table inside both variants when it is small."""
     comp = components_df
-    rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in TRIPLE_COLS])))
+    rid = F.unhex(F.md5(F.to_json(F.struct(*[F.col(c) for c in TRIPLE_COLS]))))
     t = triples_df.withColumn("__rid", rid)
     keys = (
         t.select(
