@@ -11,11 +11,16 @@ is real and tested. ``decode_media`` sniffs payload content first:
   nearest-neighbor ``resize_png``;
 * WAV → the stdlib ``wave`` reader (``decode_wav``: channels/width/rate/
   frames + RMS over the PCM samples);
+* Y4M / YUV4MPEG2 → a real pure-stdlib video parser (``decode_y4m``:
+  tagged stream/frame headers, exact per-frame plane addressing for
+  4:2:0/4:2:2/4:4:4/mono) with a matching ``encode_y4m``; ``frame_sample``
+  hashes the ACTUAL frame bytes for this format;
 * other image formats → Pillow via a capability probe, when installed;
-* everything else (notably video — no stdlib video codec exists) →
-  ``decode_stub``, a deterministic fake deriving (width, height, n_frames)
-  from the payload hash, raising ``NotImplementedError`` under
-  ``strict=True`` so callers can't mistake it for a real decoder.
+* everything else (compressed video containers — no stdlib codec exists
+  for mp4/webm) → ``decode_stub``, a deterministic fake deriving
+  (width, height, n_frames) from the payload hash, raising
+  ``NotImplementedError`` under ``strict=True`` so callers can't mistake
+  it for a real decoder.
 
 At 100 TB the rules encoded here matter more than the codec:
 * payloads are NEVER shuffled — feature extraction is a narrow
@@ -67,10 +72,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# Real stdlib codecs (r6): PNG via zlib, WAV via wave/audioop — no external
-# libraries. These close the "no codec in the sandbox" gap for the two
-# formats the standard library can actually handle; video remains honestly
-# stubbed (no stdlib video codec exists).
+# Real stdlib codecs (r6-r7): PNG via zlib, WAV via wave, Y4M by direct
+# header parsing — no external libraries. These close the "no codec in the
+# sandbox" gap for the formats the standard library can actually handle;
+# compressed video containers remain honestly stubbed.
 # --------------------------------------------------------------------- #
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -322,6 +327,160 @@ def _is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 
+# --------------------------------------------------------------------- #
+# Y4M / YUV4MPEG2 (r7): the one video container a pure-stdlib parser can
+# decode EXACTLY — uncompressed planar YUV frames behind text headers
+# (public format; mjpegtools yuv4mpeg(5)). Stream = "YUV4MPEG2 " +
+# space-separated tagged params + "\n", then per frame: "FRAME"[params]"\n"
+# + frame_size raw bytes. Compressed containers (mp4/webm) stay stubbed —
+# no stdlib codec exists for them.
+# --------------------------------------------------------------------- #
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_MAX_HEADER = 512  # real headers are <100 bytes; cap the \n scan so a
+# headerless multi-GB payload can't make us search it all
+_Y4M_BYTES_PER_PIXEL = {  # colourspace tag -> (num, den) bytes per pixel
+    "420": (3, 2),
+    "420jpeg": (3, 2),
+    "420mpeg2": (3, 2),
+    "420paldv": (3, 2),
+    "422": (2, 1),
+    "444": (3, 1),
+    "mono": (1, 1),
+}
+
+
+def _check_y4m_dims(width: int, height: int) -> None:
+    """Same hostile-header discipline as _check_png_dims (review r6): bounds
+    PER AXIS and nonzero — a W0 or H0 header otherwise divides later stride
+    math by zero, and one huge axis with a tiny product still drives a huge
+    per-plane row allocation."""
+    if not (0 < width <= 16_000_000 and 0 < height <= 16_000_000):
+        raise ValueError(f"bad Y4M dimensions ({width}x{height})")
+    if width * height > 16_000_000:
+        raise ValueError(f"Y4M frame too large ({width}x{height})")
+
+
+def y4m_header_meta(data: bytes):
+    """Parse the YUV4MPEG2 stream header WITHOUT touching frame bytes:
+    (width, height, fps_num, fps_den, colorspace, frame_size, frames_start).
+
+    Hostile-header rules: the \\n scan is capped (_Y4M_MAX_HEADER); W/H are
+    per-axis bounded and nonzero; F needs a positive num and den; 4:2:0
+    needs both axes even and 4:2:2 an even width (half-res chroma planes
+    are not byte-addressable otherwise); unknown tags are ignored per the
+    format's reader convention."""
+    if data[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\n", 0, _Y4M_MAX_HEADER)
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"
+    for tok in data[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, _, den = val.partition(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                colorspace = val.decode("ascii")
+            # I/A/X and unknown tags: ignored
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise ValueError(f"malformed Y4M header token {tok!r}") from exc
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    _check_y4m_dims(width, height)
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"bad Y4M frame rate {fps_num}:{fps_den}")
+    if colorspace not in _Y4M_BYTES_PER_PIXEL:
+        raise ValueError(f"unsupported Y4M colourspace C{colorspace}")
+    if colorspace.startswith("420") and (width % 2 or height % 2):
+        raise ValueError(f"C{colorspace} requires even dimensions")
+    if colorspace == "422" and width % 2:
+        raise ValueError("C422 requires an even width")
+    num, den = _Y4M_BYTES_PER_PIXEL[colorspace]
+    frame_size = width * height * num // den
+    return width, height, fps_num, fps_den, colorspace, frame_size, nl + 1
+
+
+def decode_y4m(data: bytes):
+    """REAL Y4M decode (pure stdlib): returns (width, height, n_frames,
+    fps_num, fps_den, colorspace, frame_size, frame_offsets) where
+    frame_offsets[i] is the byte offset of frame i's plane data —
+    data[off : off + frame_size] IS the raw YUV of that frame.
+
+    n_frames counts only COMPLETE frames physically present (the WAV
+    lesson, ADVICE r6: headers are attacker-controlled, payload truncation
+    is not an error — the walk clamps at the first incomplete or malformed
+    frame header). Each FRAME header's own \\n scan is capped like the
+    stream header's."""
+    width, height, fps_num, fps_den, colorspace, frame_size, pos = y4m_header_meta(
+        data
+    )
+    offsets = []
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"FRAME":
+            break  # trailing garbage or truncation mid-header: clamp
+        fnl = data.find(b"\n", pos, pos + _Y4M_MAX_HEADER)
+        if fnl < 0:
+            break
+        start = fnl + 1
+        if start + frame_size > n:
+            break  # incomplete trailing frame
+        offsets.append(start)
+        pos = start + frame_size
+    return (
+        width, height, len(offsets), fps_num, fps_den, colorspace,
+        frame_size, tuple(offsets),
+    )
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames,
+    fps: tuple = (25, 1),
+    colorspace: str = "420jpeg",
+) -> bytes:
+    """REAL Y4M encode: raw planar frames → a YUV4MPEG2 stream. Each frame
+    must be exactly frame_size bytes for the declared geometry."""
+    if colorspace not in _Y4M_BYTES_PER_PIXEL:
+        raise ValueError(f"unsupported Y4M colourspace C{colorspace}")
+    _check_y4m_dims(width, height)
+    if colorspace.startswith("420") and (width % 2 or height % 2):
+        raise ValueError(f"C{colorspace} requires even dimensions")
+    num, den = _Y4M_BYTES_PER_PIXEL[colorspace]
+    frame_size = width * height * num // den
+    fps_num, fps_den = fps
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"bad Y4M frame rate {fps_num}:{fps_den}")
+    out = [
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+        % (width, height, fps_num, fps_den, colorspace.encode("ascii"))
+    ]
+    for i, frame in enumerate(frames):
+        if len(frame) != frame_size:
+            raise ValueError(
+                f"frame {i}: {len(frame)} bytes, expected {frame_size}"
+            )
+        out.append(b"FRAME\n")
+        out.append(bytes(frame))
+    return b"".join(out)
+
+
+def _is_y4m(payload: bytes) -> bool:
+    return payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC
+
+
 def decode_stub(payload: bytes, kind: str, strict: bool = False):
     """STUB decode. A real deployment plugs Pillow/ffmpeg here; the sandbox
     returns deterministic pseudo-dimensions derived from the payload hash so
@@ -364,10 +523,12 @@ def decode_media(payload: bytes, kind: str, strict: bool = False):
        + unfilter) → (width, height, 1);
     2. RIFF/WAVE magic → the REAL stdlib decoder (decode_wav) →
        (n_channels, bit_depth, n_frames);
-    3. image payloads under an installed Pillow (capability probe) — covers
+    3. YUV4MPEG2 magic → the REAL stdlib parser (decode_y4m) →
+       (width, height, n_complete_frames);
+    4. image payloads under an installed Pillow (capability probe) — covers
        formats the stdlib decoder doesn't;
-    4. otherwise the deterministic stub (the only remaining stub territory
-       is video — no stdlib video codec exists)."""
+    5. otherwise the deterministic stub (remaining stub territory:
+       compressed video containers — no stdlib codec exists for them)."""
     if payload[:8] == _PNG_MAGIC:
         try:
             # header-only: the metadata path needs dims, not pixels —
@@ -383,6 +544,12 @@ def decode_media(payload: bytes, kind: str, strict: bool = False):
                 payload, with_rms=False
             )
             return n_channels, sampwidth * 8, n_frames
+        except Exception:
+            pass
+    elif _is_y4m(payload):
+        try:
+            w, h, n_frames = decode_y4m(payload)[:3]
+            return w, h, n_frames
         except Exception:
             pass
     pil = _pil_module()
@@ -473,6 +640,26 @@ def frame_sample(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
+                if _is_y4m(data):
+                    # REAL frame addressing (r7): a Y4M frame's raw YUV bytes
+                    # are byte-addressable, so the sample hashes the ACTUAL
+                    # frame planes — what a downstream perceptual-hash or
+                    # frame-dedup stage consumes — not a payload|idx fake.
+                    # Per-item containment: a malformed stream falls through
+                    # to the generic path below.
+                    try:
+                        _w, _h, n_frames, _fn, _fd, _cs, fsize, offs = (
+                            decode_y4m(data)
+                        )
+                        stride = max(every_n, -(-n_frames // max_samples))
+                        for idx in range(0, n_frames, stride):
+                            sha = hashlib.sha256(
+                                data[offs[idx] : offs[idx] + fsize]
+                            ).hexdigest()
+                            rows.append((int(media_id), idx, sha))
+                        continue
+                    except Exception:
+                        pass
                 _w, _h, n_frames = decode_media(data, kind)
                 stride = max(every_n, -(-n_frames // max_samples))
                 for idx in range(0, n_frames, stride):

@@ -1268,3 +1268,130 @@ def test_frame_sample_caps_fanout_on_real_audio(spark):
     stub_rows = frame_sample(text_media).collect()
     idxs = sorted(r["frame_idx"] for r in stub_rows)
     assert idxs[:2] == [0, 8] if len(idxs) > 1 else idxs == [0]
+
+
+def _y4m_frames(width, height, n, colorspace="420jpeg"):
+    """Deterministic raw planar frames for the given geometry."""
+    from jsonld_rs_spark.ops.multimodal import _Y4M_BYTES_PER_PIXEL
+
+    num, den = _Y4M_BYTES_PER_PIXEL[colorspace]
+    size = width * height * num // den
+    return [bytes((i * 7 + j) % 251 for j in range(size)) for i in range(n)]
+
+
+def test_y4m_roundtrip_all_colorspaces():
+    """encode_y4m -> decode_y4m must return the exact geometry, frame count,
+    and byte-identical frame planes for every supported colourspace."""
+    from jsonld_rs_spark.ops.multimodal import decode_y4m, encode_y4m
+
+    for cs, (w, h) in [("420jpeg", (8, 6)), ("420", (4, 4)), ("422", (6, 3)),
+                       ("444", (5, 3)), ("mono", (7, 5))]:
+        frames = _y4m_frames(w, h, 5, cs)
+        data = encode_y4m(w, h, frames, fps=(30, 1), colorspace=cs)
+        dw, dh, n, fn, fd, dcs, fsize, offs = decode_y4m(data)
+        assert (dw, dh, n, fn, fd, dcs) == (w, h, 5, 30, 1, cs)
+        assert [data[o:o + fsize] for o in offs] == frames
+
+
+def test_y4m_truncation_clamps_to_complete_frames():
+    """The WAV lesson applied on day one (ADVICE r6): a truncated stream
+    reports only the frames physically present — never a partial one."""
+    from jsonld_rs_spark.ops.multimodal import decode_y4m, encode_y4m
+
+    frames = _y4m_frames(4, 4, 3)
+    data = encode_y4m(4, 4, frames)
+    # cut mid-way through the last frame's planes
+    cut = decode_y4m(data[:-5])
+    assert cut[2] == 2
+    # cut mid-way through a FRAME header
+    hdr_off = data.index(b"FRAME", len(b"YUV4MPEG2"))
+    assert decode_y4m(data[:hdr_off + 3])[2] == 0
+    # trailing garbage instead of a FRAME header: clamp, not crash
+    assert decode_y4m(data + b"garbage")[2] == 3
+
+
+def test_y4m_hostile_headers_rejected():
+    """Per-axis bounds from day one (the r6 PNG lesson): zero/huge axes,
+    runaway headers, bad rates, odd 4:2:0 dims, unknown colourspaces."""
+    import pytest
+
+    from jsonld_rs_spark.ops.multimodal import decode_y4m, encode_y4m, y4m_header_meta
+
+    def hdr(params):
+        return b"YUV4MPEG2 " + params + b"\nFRAME\n" + b"\x00" * 64
+
+    for bad in [
+        b"W0 H4",                 # zero axis
+        b"W4 H0",                 # zero axis (product guard alone misses it)
+        b"W99999999 H2",          # per-axis bound
+        b"W4000000 H4000000",     # product bound
+        b"W4 H4 F0:1",            # zero fps numerator
+        b"W4 H4 F25:0",           # zero fps denominator
+        b"W3 H4",                 # odd width under default C420jpeg
+        b"W4 H3",                 # odd height under default C420jpeg
+        b"W4 H4 Cyuv9000",        # unknown colourspace
+        b"W4 Hx",                 # non-numeric axis
+        b"W4",                    # missing H
+    ]:
+        with pytest.raises(ValueError):
+            y4m_header_meta(hdr(bad))
+    # unterminated stream header: the \n scan is capped
+    with pytest.raises(ValueError):
+        y4m_header_meta(b"YUV4MPEG2 W4 H4 " + b"X" * 4096)
+    # encoder enforces the same rules
+    with pytest.raises(ValueError):
+        encode_y4m(0, 4, [])
+    with pytest.raises(ValueError):
+        encode_y4m(3, 3, _y4m_frames(3, 3, 1, "444"), colorspace="420jpeg")
+    with pytest.raises(ValueError):
+        encode_y4m(4, 4, [b"\x00" * 7])  # wrong frame size
+    # a FRAME header with a runaway parameter line: clamp, not scan-forever
+    ok = encode_y4m(4, 4, _y4m_frames(4, 4, 1))
+    evil = ok + b"FRAME " + b"Z" * 4096
+    assert decode_y4m(evil)[2] == 1
+
+
+def test_decode_media_and_frame_sample_on_real_y4m(spark):
+    """decode_media sniffs Y4M -> real dims + complete-frame count, and
+    frame_sample hashes the ACTUAL frame planes (two streams that differ
+    only in frame content must produce different frame_shas); text video
+    payloads keep the stub (the DuckDB oracle depends on that)."""
+    import hashlib as _hl
+
+    from jsonld_rs_spark.ops.multimodal import (
+        decode_media,
+        decode_y4m,
+        encode_y4m,
+        extract_features,
+        frame_sample,
+    )
+
+    frames = _y4m_frames(8, 6, 12)
+    y4m = encode_y4m(8, 6, frames, fps=(24, 1))
+    assert decode_media(y4m, "video") == (8, 6, 12)
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(y4m), ("video/x-y4m", len(y4m), "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    feats = extract_features(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (8, 6, 12)
+
+    rows = {r["frame_idx"]: r["frame_sha"] for r in
+            frame_sample(media, every_n=4, max_samples=16).collect()}
+    assert sorted(rows) == [0, 4, 8]
+    _w, _h, _n, _fn, _fd, _cs, fsize, offs = decode_y4m(y4m)
+    for idx in (0, 4, 8):
+        expect = _hl.sha256(y4m[offs[idx]:offs[idx] + fsize]).hexdigest()
+        assert rows[idx] == expect
+    # frame-content sensitivity: same geometry, different planes
+    other = encode_y4m(8, 6, _y4m_frames(8, 6, 12)[::-1], fps=(24, 1))
+    media2 = spark.createDataFrame(
+        [(1, "video", bytearray(other), ("video/x-y4m", len(other), "u"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, bytes:long, source_url:string>",
+    )
+    rows2 = {r["frame_idx"]: r["frame_sha"] for r in
+             frame_sample(media2, every_n=4, max_samples=16).collect()}
+    assert rows2[0] != rows[0]
