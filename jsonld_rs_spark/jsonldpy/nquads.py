@@ -29,8 +29,11 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
 class NQuadsParseError(ValueError):
-    def __init__(self, message: str, line_no: int) -> None:
-        super().__init__(f"line {line_no}: {message}")
+    def __init__(self, message: str, line_no: Optional[int] = None) -> None:
+        # line_no None = caller parses one statement in isolation (the Spark
+        # source, where Spark's splittable text reader has no absolute line
+        # position) — embed no fabricated number.
+        super().__init__(f"line {line_no}: {message}" if line_no else message)
         self.line_no = line_no
 
 
@@ -46,14 +49,43 @@ _ECHAR = {
 }
 
 # one token: IRIREF, blank node label, or quoted string (with escapes)
-_IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
-_BLANK = re.compile(r"_:([A-Za-z0-9][A-Za-z0-9._-]*)")
+# IRIREF ::= '<' ([^#x00-#x20<>"{}|^`\] | UCHAR)* '>'  — backslash is only
+# legal as part of a UCHAR escape, which the alternation encodes directly.
+_IRIREF = re.compile(
+    r'<((?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)>'
+)
+# BLANK_NODE_LABEL ::= '_:' (PN_CHARS_U | [0-9]) ((PN_CHARS | '.')* PN_CHARS)?
+# PN_CHARS_U includes '_' and ':'; the label may contain interior dots but
+# must END on PN_CHARS, so the statement terminator '.' is never swallowed.
+_PN_CHARS_BASE = (
+    "A-Za-z"
+    "\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF\u0370-\u037D\u037F-\u1FFF"
+    "\u200C-\u200D\u2070-\u218F\u2C00-\u2FEF\u3001-\uD7FF\uF900-\uFDCF"
+    "\uFDF0-\uFFFD\U00010000-\U000EFFFF"
+)
+_PN_CHARS_U = _PN_CHARS_BASE + "_:"
+_PN_CHARS = _PN_CHARS_U + "0-9\\-\u00B7\u0300-\u036F\u203F-\u2040"
+_BLANK = re.compile(
+    "_:([" + _PN_CHARS_U + "0-9](?:[" + _PN_CHARS + ".]*[" + _PN_CHARS + "])?)"
+)
 _STRING = re.compile(r'"((?:[^"\\\n\r]|\\.)*)"')
 _LANGTAG = re.compile(r"@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)")
 _UCHAR = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
 
 
-def _unescape_string(raw: str, line_no: int) -> str:
+def _check_scalar(cp: int, line_no: Optional[int]) -> int:
+    """UCHAR must denote a Unicode scalar value: RDF strings are scalar
+    sequences, and a lone surrogate (U+D800-U+DFFF) cannot cross the Arrow
+    serialization boundary — it would kill the whole Spark task instead of
+    quarantining the one line (pipeline containment rule, CLAUDE.md)."""
+    if 0xD800 <= cp <= 0xDFFF:
+        raise NQuadsParseError(f"surrogate code point U+{cp:04X} in escape", line_no)
+    if cp > 0x10FFFF:
+        raise NQuadsParseError("escape beyond U+10FFFF", line_no)
+    return cp
+
+
+def _unescape_string(raw: str, line_no: Optional[int]) -> str:
     """Resolve ECHAR + UCHAR escapes in a STRING_LITERAL_QUOTE body."""
     if "\\" not in raw:
         return raw
@@ -75,32 +107,27 @@ def _unescape_string(raw: str, line_no: int) -> str:
             hexs = raw[i + 2 : i + 6]
             if len(hexs) != 4 or not re.fullmatch(r"[0-9A-Fa-f]{4}", hexs):
                 raise NQuadsParseError(f"bad \\u escape at {i}", line_no)
-            out.append(chr(int(hexs, 16)))
+            out.append(chr(_check_scalar(int(hexs, 16), line_no)))
             i += 6
         elif nxt == "U":
             hexs = raw[i + 2 : i + 10]
             if len(hexs) != 8 or not re.fullmatch(r"[0-9A-Fa-f]{8}", hexs):
                 raise NQuadsParseError(f"bad \\U escape at {i}", line_no)
-            cp = int(hexs, 16)
-            if cp > 0x10FFFF:
-                raise NQuadsParseError(f"\\U beyond U+10FFFF at {i}", line_no)
-            out.append(chr(cp))
+            out.append(chr(_check_scalar(int(hexs, 16), line_no)))
             i += 10
         else:
             raise NQuadsParseError(f"invalid escape \\{nxt}", line_no)
     return "".join(out)
 
 
-def _unescape_iri(raw: str, line_no: int) -> str:
+def _unescape_iri(raw: str, line_no: Optional[int]) -> str:
     """IRIREF allows only UCHAR escapes (no ECHAR)."""
     if "\\" not in raw:
         return raw
 
     def sub(m: "re.Match[str]") -> str:
         cp = int(m.group(1) or m.group(2), 16)
-        if cp > 0x10FFFF:
-            raise NQuadsParseError("\\U beyond U+10FFFF in IRI", line_no)
-        return chr(cp)
+        return chr(_check_scalar(cp, line_no))
 
     out, count = _UCHAR.subn(sub, raw)
     if "\\" in _UCHAR.sub("", raw):
@@ -109,7 +136,7 @@ def _unescape_iri(raw: str, line_no: int) -> str:
 
 
 def _take_term(
-    line: str, pos: int, line_no: int, *, allow_literal: bool
+    line: str, pos: int, line_no: Optional[int], *, allow_literal: bool
 ) -> Tuple[str, str, Optional[str], Optional[str], int]:
     """Parse one term at ``pos``. Returns (kind, value, datatype, lang, end)
     with kind 'id' | 'literal' (matching Quad.obj_kind)."""
@@ -164,32 +191,46 @@ def parse_nquads(text: str, generalized: bool = False) -> Dataset:
     quirk, tr053) so its own serialized output can round-trip."""
     dataset: Dataset = {}
     for line_no, raw_line in enumerate(text.split("\n"), start=1):
-        line = raw_line.strip("\r")
-        pos = _skip_ws(line, 0)
-        if pos >= len(line) or line[pos] == "#":
+        parsed = parse_nquad_statement(raw_line, generalized=generalized, line_no=line_no)
+        if parsed is None:
             continue
-        kind, subj, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
-        pos = _skip_ws(line, pos)
-        pkind, pred, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
-        if pred.startswith("_:") and not generalized:
-            # predicate must be an IRIREF per the REC grammar
-            raise NQuadsParseError("blank node predicate not allowed", line_no)
-        pos = _skip_ws(line, pos)
-        okind, ovalue, odt, olang, pos = _take_term(line, pos, line_no, allow_literal=True)
-        pos = _skip_ws(line, pos)
-        graph = "@default"
-        if pos < len(line) and line[pos] != ".":
-            gkind, graph, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
-            pos = _skip_ws(line, pos)
-        if pos >= len(line) or line[pos] != ".":
-            raise NQuadsParseError("missing terminating '.'", line_no)
-        tail = _skip_ws(line, pos + 1)
-        if tail < len(line) and line[tail] != "#":
-            raise NQuadsParseError(f"trailing content at col {tail}", line_no)
-        # in-memory convention (object_to_rdf): plain strings carry
-        # xsd:string explicitly, matching what _take_term already assigns —
-        # round-trips through nquad_line are exact
-        dataset.setdefault(graph, []).append(
-            Quad(subj, pred, okind, ovalue, odt if okind == "literal" else None, olang)
-        )
+        graph, quad = parsed
+        dataset.setdefault(graph, []).append(quad)
     return dataset
+
+
+def parse_nquad_statement(
+    raw_line: str, generalized: bool = False, line_no: Optional[int] = None
+) -> Optional[Tuple[str, Quad]]:
+    """Parse ONE N-Quads statement; ``None`` for blank/comment-only lines.
+
+    The Spark source calls this per text-source row — Spark's splittable
+    reader has no absolute file position, so ``line_no`` stays ``None`` and
+    errors carry no fabricated line number (the quarantine record holds the
+    verbatim line + source file instead)."""
+    line = raw_line.strip("\r")
+    pos = _skip_ws(line, 0)
+    if pos >= len(line) or line[pos] == "#":
+        return None
+    kind, subj, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
+    pos = _skip_ws(line, pos)
+    pkind, pred, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
+    if pred.startswith("_:") and not generalized:
+        # predicate must be an IRIREF per the REC grammar
+        raise NQuadsParseError("blank node predicate not allowed", line_no)
+    pos = _skip_ws(line, pos)
+    okind, ovalue, odt, olang, pos = _take_term(line, pos, line_no, allow_literal=True)
+    pos = _skip_ws(line, pos)
+    graph = "@default"
+    if pos < len(line) and line[pos] != ".":
+        gkind, graph, _, _, pos = _take_term(line, pos, line_no, allow_literal=False)
+        pos = _skip_ws(line, pos)
+    if pos >= len(line) or line[pos] != ".":
+        raise NQuadsParseError("missing terminating '.'", line_no)
+    tail = _skip_ws(line, pos + 1)
+    if tail < len(line) and line[tail] != "#":
+        raise NQuadsParseError(f"trailing content at col {tail}", line_no)
+    # in-memory convention (object_to_rdf): plain strings carry xsd:string
+    # explicitly, matching what _take_term already assigns — round-trips
+    # through nquad_line are exact
+    return graph, Quad(subj, pred, okind, ovalue, odt if okind == "literal" else None, olang)

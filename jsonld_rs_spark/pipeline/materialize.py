@@ -178,6 +178,15 @@ def extract_and_materialize(
     return {"records": records_path, "triples": triples_path, "metrics": metrics_path}
 
 
+def _read_records(spark: SparkSession, records_path: str) -> DataFrame:
+    """Read the append-only records table with mergeSchema: files written
+    before a column existed (e.g. run_ts, added r7) must still surface the
+    column (as NULL) rather than letting one old footer's schema win and
+    silently drop it — quarantined()'s recency scoping depends on seeing
+    run_ts whenever ANY file carries it (r7 review finding)."""
+    return spark.read.option("mergeSchema", "true").parquet(records_path)
+
+
 def _rebuild_outputs(spark: SparkSession, out_dir: str, buckets: int) -> None:
     """Regenerate the triples and metrics tables from the (append-only)
     records table — shared by the extraction and quarantine-replay flows.
@@ -185,7 +194,7 @@ def _rebuild_outputs(spark: SparkSession, out_dir: str, buckets: int) -> None:
     the run that produced its batch."""
     from .triples import METRICS_DDL
 
-    all_records = spark.read.parquet(os.path.join(out_dir, "records"))
+    all_records = _read_records(spark, os.path.join(out_dir, "records"))
     triples, _ = split_records(all_records)
     write_triples(triples, os.path.join(out_dir, "triples"), buckets)
     m_rows = all_records.filter(F.col("rec_kind") == "m").select(
@@ -227,7 +236,7 @@ def replay_quarantined(
     # one block under two error codes when a replay re-failed it with a
     # different error, and counting rows would inflate replayed/still and
     # could push healed below zero (review r6)
-    before = quarantined(spark.read.parquet(records_path)).select(
+    before = quarantined(_read_records(spark, records_path)).select(
         "url", "block_index"
     ).distinct()
     todo = before.groupBy("url").agg(
@@ -247,7 +256,7 @@ def replay_quarantined(
 
     _rebuild_outputs(spark, out_dir, buckets)
     still = (
-        quarantined(spark.read.parquet(records_path))
+        quarantined(_read_records(spark, records_path))
         .select("url", "block_index")
         .distinct()
         .count()

@@ -99,7 +99,10 @@ def read_nquads_records(spark: SparkSession, path: str, generalized: bool = Fals
     def run(batches):
         import pandas as pd
 
-        from jsonld_rs_spark.jsonldpy.nquads import NQuadsParseError, parse_nquads
+        from jsonld_rs_spark.jsonldpy.nquads import (
+            NQuadsParseError,
+            parse_nquad_statement,
+        )
 
         for pdf in batches:
             out = {k: [] for k in (
@@ -107,11 +110,11 @@ def read_nquads_records(spark: SparkSession, path: str, generalized: bool = Fals
                 "obj_kind", "obj_value", "obj_datatype", "obj_lang", "error",
             )}
             for line, src in zip(pdf["value"], pdf["src"]):
-                stripped = line.strip()
-                if not stripped or stripped.startswith("#"):
-                    continue
+                # one statement per text-source row; no fabricated line
+                # numbers (Spark's splittable reader has no file position) —
+                # the quarantine record's verbatim line + src locate it
                 try:
-                    ds = parse_nquads(line, generalized=generalized)
+                    parsed = parse_nquad_statement(line, generalized=generalized)
                 except (NQuadsParseError, ValueError) as exc:
                     out["rec_kind"].append("q")
                     out["src"].append(src)
@@ -124,18 +127,19 @@ def read_nquads_records(spark: SparkSession, path: str, generalized: bool = Fals
                     out["obj_lang"].append(None)
                     out["error"].append(str(exc))
                     continue
-                for graph, quads in ds.items():
-                    for q in quads:
-                        out["rec_kind"].append("t")
-                        out["src"].append(src)
-                        out["graph"].append(graph)
-                        out["subj"].append(q.subj)
-                        out["pred"].append(q.pred)
-                        out["obj_kind"].append(q.obj_kind)
-                        out["obj_value"].append(q.obj_value)
-                        out["obj_datatype"].append(q.obj_datatype)
-                        out["obj_lang"].append(q.obj_lang)
-                        out["error"].append(None)
+                if parsed is None:
+                    continue
+                graph, q = parsed
+                out["rec_kind"].append("t")
+                out["src"].append(src)
+                out["graph"].append(graph)
+                out["subj"].append(q.subj)
+                out["pred"].append(q.pred)
+                out["obj_kind"].append(q.obj_kind)
+                out["obj_value"].append(q.obj_value)
+                out["obj_datatype"].append(q.obj_datatype)
+                out["obj_lang"].append(q.obj_lang)
+                out["error"].append(None)
             yield pd.DataFrame(out)
 
     return lines.mapInPandas(run, schema=NQ_RECORDS_SCHEMA)

@@ -275,10 +275,22 @@ def quarantined(records_df):
     (materialize.py appends it per run); records without the column (raw
     ``extract_records`` output within one run) degenerate to the unscoped
     behavior, which is correct there because a single run never re-fails a
-    block it also resolved."""
+    block it also resolved.
+
+    LEGACY rows need the same degeneration: a records dir whose older parquet
+    files pre-date the run_ts column reads those rows as NULL (r7 review
+    finding) — max(NULL)=NULL would then RESURRECT every long-healed block
+    through the isNull branch. Coalescing NULL to the epoch floor 0.0 pins
+    legacy q/r pairs to the unscoped semantics (marker masks), while any
+    post-column 'q' (real ts > 0) still beats a legacy marker and stays
+    replayable."""
     from pyspark.sql import functions as F
 
-    ts = F.col("run_ts") if "run_ts" in records_df.columns else F.lit(0.0)
+    ts = (
+        F.coalesce(F.col("run_ts"), F.lit(0.0))
+        if "run_ts" in records_df.columns
+        else F.lit(0.0)
+    )
     q = (
         records_df.filter(F.col("rec_kind") == "q")
         .select(

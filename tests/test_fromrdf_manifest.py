@@ -101,6 +101,63 @@ def test_parser_reports_line_numbers():
     assert ei.value.line_no == 2
 
 
+def test_parser_accepts_uchar_in_iris():
+    """IRIREF ::= '<' ([^...] | UCHAR)* '>' — \\u/\\U escapes are part of the
+    REC grammar; a third-party dump that escapes non-ASCII IRI characters
+    must parse, not quarantine (r7 review finding: the old char class
+    excluded backslash, making _unescape_iri unreachable)."""
+    ds = parse_nquads('<http://ex/\\u00E9> <http://p> "x"^^<http://t\\U0001F600> .')
+    q = ds["@default"][0]
+    assert q.subj == "http://ex/é"
+    assert q.obj_datatype == "http://t\U0001F600"
+    # a backslash NOT forming a UCHAR is still malformed
+    with pytest.raises(NQuadsParseError):
+        parse_nquads('<http://ex/\\n> <http://p> "x" .')
+
+
+def test_parser_blank_label_grammar():
+    """BLANK_NODE_LABEL per the REC: PN_CHARS_U ('_', ':') may lead, interior
+    dots are legal but the label must end on PN_CHARS — so the statement
+    terminator '.' abutting a label is never swallowed (r7 review finding)."""
+    ds = parse_nquads("_:_u <http://p> _:a.b .")
+    assert ds["@default"][0].subj == "_:_u"
+    assert ds["@default"][0].obj_value == "_:a.b"
+    # label directly against the terminating dot, no space
+    ds = parse_nquads("<http://s> <http://p> _:o.")
+    assert ds["@default"][0].obj_value == "_:o"
+    # non-ASCII PN_CHARS_BASE leading char
+    ds = parse_nquads("_:éx <http://p> \"v\" .")
+    assert ds["@default"][0].subj == "_:éx"
+
+
+def test_parser_rejects_lone_surrogates():
+    """A lone surrogate in a UCHAR escape would produce a Python str that
+    Arrow cannot serialize — killing the whole Spark task instead of
+    quarantining the line. Reject at parse so containment holds (r7 review
+    finding)."""
+    for bad in (
+        '<http://s> <http://p> "\\uD800" .',
+        '<http://s> <http://p> "\\UDFFF0000" .',
+        '<http://s\\uDC00> <http://p> "x" .',
+    ):
+        with pytest.raises(NQuadsParseError):
+            parse_nquads(bad)
+
+
+def test_parse_nquad_statement_single_line():
+    """The Spark source's per-row entry point: no fabricated line numbers,
+    None for blank/comment rows."""
+    from jsonld_rs_spark.jsonldpy.nquads import parse_nquad_statement
+
+    assert parse_nquad_statement("  # c") is None
+    assert parse_nquad_statement("") is None
+    graph, q = parse_nquad_statement('<http://s> <http://p> "v" <http://g> .')
+    assert graph == "http://g" and q.obj_value == "v"
+    with pytest.raises(NQuadsParseError) as ei:
+        parse_nquad_statement("<http://s> <bad")
+    assert "line " not in str(ei.value)
+
+
 def test_parser_accepts_comments_blanks_and_crlf():
     ds = parse_nquads(
         "# leading comment\r\n"

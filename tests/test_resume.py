@@ -351,3 +351,74 @@ def test_resolved_marker_does_not_mask_future_failures(spark, tmp_path_factory):
     res2 = replay_quarantined(spark, out, recrawl, store=fixed2, run_id="heal2")
     assert res2["replayed_blocks"] == 1 and res2["healed_blocks"] == 1
     assert quarantined(spark.read.parquet(f"{out}/records")).count() == 0
+
+
+def test_legacy_records_without_run_ts_stay_healed(spark, tmp_path_factory):
+    """Review r7: a records dir whose OLDER parquet files pre-date the
+    run_ts column must not resurrect long-healed blocks. mergeSchema reads
+    those legacy rows as run_ts=NULL; without the coalesce-to-epoch-floor,
+    max(NULL)=NULL flowed into the isNull branch and every healed 'q' row
+    came back. And without mergeSchema one old footer could win schema
+    inference and silently DROP run_ts for the whole table."""
+    import json as _json
+    import time as _time
+
+    from jsonld_rs_spark.pipeline.context_store import BUILTIN_CONTEXTS
+    from jsonld_rs_spark.pipeline.materialize import _read_records, replay_quarantined
+    from jsonld_rs_spark.pipeline.triples import quarantined
+
+    good = {"@context": {"@vocab": "http://s.example/"}, "@id": "http://e/ok", "name": "fine"}
+    poisoned = {"@context": "https://missing.example/ctx", "@id": "http://e/p4"}
+
+    def page(url, *docs):
+        html = "".join(
+            f'<script type="application/ld+json">{_json.dumps(d)}</script>'
+            for d in docs
+        )
+        return (url, html.encode())
+
+    url = "http://pg.example/legacy"
+    pages = spark.createDataFrame([page(url, good, poisoned)], "url string, html binary")
+
+    # build a healed history with run_ts, then strip the column to simulate
+    # files written before run_ts existed
+    staging = str(tmp_path_factory.mktemp("legacy_staging"))
+    extract_and_materialize(pages, staging, run_id="old-main")
+    fixed = dict(BUILTIN_CONTEXTS)
+    fixed["https://missing.example/ctx"] = {"@context": {"@vocab": "http://s.example/"}}
+    res = replay_quarantined(spark, staging, pages, store=fixed, run_id="old-heal")
+    assert res["healed_blocks"] == 1
+
+    out = str(tmp_path_factory.mktemp("legacy_records"))
+    legacy = spark.read.parquet(f"{staging}/records").drop("run_ts")
+    legacy.write.mode("overwrite").parquet(f"{out}/records")
+    assert quarantined(_read_records(spark, f"{out}/records")).count() == 0
+
+    # a NEW-format run appends a 'q' for a different page, run_ts present
+    poisoned2 = {"@context": "https://missing.example/ctx2", "@id": "http://e/p5"}
+    pages2 = spark.createDataFrame(
+        [page("http://pg.example/legacy2", good, poisoned2)], "url string, html binary"
+    )
+    from jsonld_rs_spark.pipeline.triples import extract_records
+
+    rec2 = extract_records(pages2, stage="extract").withColumn(
+        "run_id", F.lit("new-run")
+    ).withColumn("run_ts", F.lit(float(_time.time())))
+    rec2.write.mode("append").parquet(f"{out}/records")
+
+    q = quarantined(_read_records(spark, f"{out}/records")).collect()
+    # the legacy heal holds (marker coalesced to the same epoch floor as its
+    # q row → masks); only the genuinely new failure is listed
+    assert [(r["url"], r["block_index"]) for r in q] == [("http://pg.example/legacy2", 1)]
+
+    # a post-column 'q' RE-FAILING the legacy-healed block beats the legacy
+    # marker (real ts > 0.0) and surfaces for replay
+    refail = {"@context": "https://missing.example/ctx3", "@id": "http://e/p4"}
+    recrawl = spark.createDataFrame([page(url, good, refail)], "url string, html binary")
+    rec3 = extract_records(recrawl, stage="extract").withColumn(
+        "run_id", F.lit("recrawl")
+    ).withColumn("run_ts", F.lit(float(_time.time())))
+    rec3.write.mode("append").parquet(f"{out}/records")
+    q2 = {(r["url"], r["block_index"])
+          for r in quarantined(_read_records(spark, f"{out}/records")).collect()}
+    assert (url, 1) in q2 and ("http://pg.example/legacy2", 1) in q2
