@@ -512,7 +512,7 @@ def main() -> None:
             inproc_quiet = _probe_quiet(tput_probe_pre) and _probe_quiet(
                 tput_probe_post
             )
-            sub_quiet = probes[key] >= 0.4 * CPUS
+            sub_quiet = probes[key] >= _speedup_quiet_threshold(CPUS)
             spread = round(max(tput_trials) / max(min(tput_trials), 1e-9), 2)
             if not inproc_quiet and sub_quiet:
                 why = (
@@ -700,7 +700,9 @@ def _window_probe(cpus: int, burn: int = 1_000_000) -> dict:
     """Cheap (~1.5 s) point sample of window quality, taken per headline
     query: 1-thread sha256 time normalized to the 2M-iteration reference
     burn (quiet ≈ 1.0-1.6 s), plus the width-sensitive parallel speedup
-    (quiet ≈ 0.8×min(nproc, 16 physical)). Shorter burns than the global
+    (quiet per width in QUIET_SPEEDUP; re-measured r7 at w32: 20.2-26.7,
+    NOT the 0.8×min(nproc, 16) an earlier draft claimed). Shorter burns
+    than the global
     probes — a probe that cost as much as the query would double the bench —
     so single samples are noisier; read them as a bracket around each
     query, not a verdict on their own."""
@@ -711,15 +713,31 @@ def _window_probe(cpus: int, burn: int = 1_000_000) -> dict:
     }
 
 
+def _speedup_quiet_threshold(cpus: int) -> float:
+    """Half the MEASURED quiet parallel speedup at this width (QUIET_SPEEDUP,
+    the same table pass_quality normalizes against); 0.4×cpus only as the
+    uncalibrated fallback. Review r7: the old flat 0.4×cpus formula and a
+    stale '0.8×min(nproc, 16 physical)' docstring claim disagreed about what
+    quiet even MEANS at width 32 — re-measured this round: quiet w32 short
+    probes read 20.2-26.7 (the 25.8 table entry), so half-of-quiet is 12.9,
+    which the flat formula only matched by coincidence at 32 and mis-stated
+    everywhere the docstring was believed instead."""
+    return 0.5 * QUIET_SPEEDUP.get(cpus, 0.8 * cpus)
+
+
 def _probe_quiet(probe: dict, cpus: int = None) -> bool:
     """Window-quality test for a _window_probe sample: quiet means the
     1-thread burn is in its quiet band (<= 2.0 s normalized; quiet ≈
-    1.0-1.6) AND the width probe reaches at least half the quiet parallel
-    speedup (quiet ≈ 0.8×nproc on this box, so threshold 0.4×nproc).
-    Conservative on purpose: a false 'contended' costs one extra
-    measurement; a false 'quiet' records a stolen window as the engine."""
+    1.0-1.6) AND the width probe reaches at least half the measured quiet
+    parallel speedup for this width (QUIET_SPEEDUP; e.g. 25.8 at 32 →
+    threshold 12.9). Conservative on purpose: a false 'contended' costs one
+    extra measurement; a false 'quiet' records a stolen window as the
+    engine."""
     cpus = cpus or CPUS
-    return probe["noise_sec"] <= 2.0 and probe["speedup"] >= 0.4 * cpus
+    return (
+        probe["noise_sec"] <= 2.0
+        and probe["speedup"] >= _speedup_quiet_threshold(cpus)
+    )
 
 
 def _cpu_ceiling_8_to_32() -> float:

@@ -458,6 +458,10 @@ def encode_y4m(
     _check_y4m_dims(width, height)
     if colorspace.startswith("420") and (width % 2 or height % 2):
         raise ValueError(f"C{colorspace} requires even dimensions")
+    if colorspace == "422" and width % 2:
+        # mirror the decoder's chroma-addressability rule (review r7): the
+        # encoder must never emit a stream its own decoder rejects
+        raise ValueError("C422 requires an even width")
     num, den = _Y4M_BYTES_PER_PIXEL[colorspace]
     frame_size = width * height * num // den
     fps_num, fps_den = fps

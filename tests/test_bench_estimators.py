@@ -83,3 +83,30 @@ def test_pass_quality_skips_uncalibrated_widths():
     assert pass_quality(row, (2, 8, 16)) == pytest.approx(1.0, abs=0.01)
     with pytest.raises(ValueError):
         pass_quality({"probe[16]": 10.0}, (16,))
+
+
+def test_probe_quiet_threshold_tracks_measured_quiet_table():
+    """Review r7: the old flat 0.4*cpus threshold met the stale
+    '0.8*min(nproc, 16)' docstring claim exactly at CPUS=32 (both said
+    12.8), so whichever number was believed, half of genuinely quiet
+    windows would misclassify. The threshold is now HALF of the measured
+    QUIET_SPEEDUP entry per width — quiet w32 short probes measured
+    20.2-26.7 this round, so 12.8 is below half-of-quiet and must read
+    contended, while a real quiet reading passes."""
+    from bench import QUIET_SPEEDUP, _probe_quiet, _speedup_quiet_threshold
+
+    for cpus, quiet in QUIET_SPEEDUP.items():
+        assert _speedup_quiet_threshold(cpus) == pytest.approx(0.5 * quiet)
+        assert _probe_quiet({"noise_sec": 1.2, "speedup": quiet}, cpus)
+        assert not _probe_quiet(
+            {"noise_sec": 1.2, "speedup": 0.4 * quiet}, cpus
+        )
+    # measured genuinely-quiet w32 short-probe readings from this round
+    for reading in (20.2, 26.04, 26.72):
+        assert _probe_quiet({"noise_sec": 1.2, "speedup": reading}, 32)
+    # the old formula's boundary value at 32 now reads contended
+    assert not _probe_quiet({"noise_sec": 1.2, "speedup": 12.8}, 32)
+    # uncalibrated width: fall back to half of 0.8*cpus, the same family
+    assert _speedup_quiet_threshold(16) == pytest.approx(6.4)
+    # the 1-thread noise gate is unchanged
+    assert not _probe_quiet({"noise_sec": 2.5, "speedup": 25.8}, 32)

@@ -1351,6 +1351,35 @@ def test_y4m_hostile_headers_rejected():
     assert decode_y4m(evil)[2] == 1
 
 
+def test_y4m_encoder_never_emits_what_decoder_rejects():
+    """Round-trip CONTRACT across the whole geometry grid (review r7: the
+    encoder accepted odd-width C422 streams its own decoder rejects — it
+    validated 4:2:0 rules but not the C422 even-width rule). For every
+    supported colourspace and small geometry, encode_y4m must either raise
+    ValueError itself or produce a stream decode_y4m accepts with the same
+    geometry."""
+    import pytest
+
+    from jsonld_rs_spark.ops.multimodal import decode_y4m, encode_y4m
+
+    # the exact reported repro: odd width under C422 must now raise
+    with pytest.raises(ValueError):
+        encode_y4m(5, 3, [bytes(30)], colorspace="422")
+
+    from jsonld_rs_spark.ops.multimodal import _Y4M_BYTES_PER_PIXEL
+
+    for cs in _Y4M_BYTES_PER_PIXEL:
+        for w in (1, 2, 3, 4, 5):
+            for h in (1, 2, 3, 4):
+                try:
+                    frames = _y4m_frames(w, h, 1, cs)
+                    data = encode_y4m(w, h, frames, colorspace=cs)
+                except ValueError:
+                    continue  # encoder refused: contract upheld
+                dw, dh, n, _, _, dcs, _, _ = decode_y4m(data)
+                assert (dw, dh, n, dcs) == (w, h, 1, cs)
+
+
 def test_decode_media_and_frame_sample_on_real_y4m(spark):
     """decode_media sniffs Y4M -> real dims + complete-frame count, and
     frame_sample hashes the ACTUAL frame planes (two streams that differ

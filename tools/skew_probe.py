@@ -144,27 +144,72 @@ def digest(df):
 _UNIT = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3, "TiB": 1024**4}
 
 
-def shuffle_bytes_last_exec(spark) -> int:
-    """Sum of 'shuffle bytes written' across the most recent SQL execution,
-    read from the SQL status store (public Spark status API). The store
-    formats size metrics as 'total (min, med, max …)\\n12.3 MiB (…)' — the
-    first size token is the total."""
+def _drain_listener_bus(spark, timeout_s: float = 30.0) -> None:
+    """Block until the async listener bus has delivered all queued events.
+    The SQL status store is fed by this bus, so reading it right after
+    collect() races the delivery thread (review r7: the 'most recent
+    execution' could be stale or carry partial metrics). waitUntilEmpty is
+    private[spark] in Scala, which compiles to public bytecode — the
+    standard py4j test hook; signature changed across Spark versions, so
+    try no-arg then (timeoutMillis)."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:
+        bus.waitUntilEmpty(int(timeout_s * 1000))
+
+
+def latest_exec_id(spark) -> int:
+    """Highest SQL executionId currently in the status store (-1 if none).
+    Taken BEFORE a measured action, it scopes the metric read to executions
+    the action itself created."""
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
-    e = execs.apply(execs.size() - 1)
-    id2name = {}
-    it = e.metrics().iterator()
-    while it.hasNext():
-        m = it.next()
-        id2name[m.accumulatorId()] = m.name()
+    n = execs.size()
+    return execs.apply(n - 1).executionId() if n else -1
+
+
+def shuffle_bytes_since(spark, prev_id: int, timeout_s: float = 30.0) -> int:
+    """Sum of 'shuffle bytes written' across every SQL execution with
+    id > prev_id, read from the SQL status store (public Spark status API).
+    Drains the listener bus first, then polls until at least one newer
+    execution is visible (review r7: the bus is async — an immediate read
+    could attribute bytes to the preceding checkpoint's execution). Summing
+    ALL newer executions, not just the last, also counts the per-round
+    localCheckpoint shuffles a CC-backed operator runs before the final
+    digest. The store formats size metrics as
+    'total (min, med, max …)\\n12.3 MiB (…)' — the first size token is the
+    total."""
+    deadline = time.monotonic() + timeout_s
+    store = spark._jsparkSession.sharedState().statusStore()
+    while True:
+        _drain_listener_bus(spark, timeout_s)
+        if latest_exec_id(spark) > prev_id:
+            break
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"no SQL execution newer than {prev_id} appeared in "
+                f"{timeout_s}s — nothing to attribute shuffle bytes to"
+            )
+        time.sleep(0.2)
     total = 0
-    vit = store.executionMetrics(e.executionId()).iterator()
-    while vit.hasNext():
-        kv = vit.next()
-        if id2name.get(kv._1()) == "shuffle bytes written":
-            m = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", kv._2())
-            if m:
-                total += int(float(m.group(1)) * _UNIT[m.group(2)])
+    execs = store.executionsList()
+    for i in range(execs.size()):
+        e = execs.apply(i)
+        if e.executionId() <= prev_id:
+            continue
+        id2name = {}
+        it = e.metrics().iterator()
+        while it.hasNext():
+            m = it.next()
+            id2name[m.accumulatorId()] = m.name()
+        vit = store.executionMetrics(e.executionId()).iterator()
+        while vit.hasNext():
+            kv = vit.next()
+            if id2name.get(kv._1()) == "shuffle bytes written":
+                m = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", kv._2())
+                if m:
+                    total += int(float(m.group(1)) * _UNIT[m.group(2)])
     return total
 
 
@@ -207,11 +252,14 @@ def main() -> None:
         comp = comp.localCheckpoint()
 
         def timed(fn):
+            # watermark BEFORE the run: shuffle bytes are then summed over
+            # exactly the executions this fn (and its digest) created
+            mark = latest_exec_id(spark)
             t0 = time.monotonic()
             out = fn(triples, comp)
             cnt, d, dd = digest(out)
             wall = time.monotonic() - t0
-            return wall, cnt, d, dd, shuffle_bytes_last_exec(spark)
+            return wall, cnt, d, dd, shuffle_bytes_since(spark, mark)
 
         wall_melt, n_rows, d_melt, dd_melt, sb_melt = timed(canonicalize_subjects)
         plan = dd_melt._jdf.queryExecution().executedPlan().toString()
