@@ -6,9 +6,11 @@ Spark-side plumbing (schema, batch shape, partition sizing, UDF signatures)
 is real and tested. ``decode_media`` sniffs payload content first:
 
 * PNG → a real pure-stdlib decoder (``decode_png``: chunk walk with CRC
-  verification, zlib IDAT inflate, full scanline unfiltering; 8-bit
-  non-interlaced greyscale/RGB/RGBA) with a matching encoder and a real
-  nearest-neighbor ``resize_png``;
+  verification, zlib IDAT inflate, full scanline unfiltering, Adam7
+  de-interlacing, palette expansion via PLTE/tRNS; all four 8-bit color
+  types) with matching encoders (``encode_png`` truecolor/grey,
+  ``encode_png_indexed`` palette) and a real nearest-neighbor
+  ``resize_png``;
 * WAV → the stdlib ``wave`` reader (``decode_wav``: channels/width/rate/
   frames + RMS over the PCM samples);
 * Y4M / YUV4MPEG2 → a real pure-stdlib video parser (``decode_y4m``:
@@ -79,7 +81,33 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA (8-bit, no interlace)
+# samples per pixel as stored in the FILE, by color type (8-bit only):
+# greyscale, truecolor, palette-indexed (1 index byte), truecolor+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+# Adam7 interlace pass grid (PNG spec §8.2 'Interlaced data order',
+# https://www.w3.org/TR/png/): (x_start, y_start, x_step, y_step) per pass.
+# A pass whose sub-image is empty for the given dimensions contributes NO
+# scanlines at all — not even filter bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int):
+    """Yield (x_start, y_start, x_step, y_step, pass_w, pass_h) for the
+    non-empty Adam7 passes of a width×height image."""
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (width - xs + xstep - 1) // xstep if width > xs else 0
+        ph = (height - ys + ystep - 1) // ystep if height > ys else 0
+        if pw > 0 and ph > 0:
+            yield xs, ys, xstep, ystep, pw, ph
 
 
 def _check_png_dims(width: int, height: int) -> None:
@@ -117,7 +145,7 @@ def png_header_dims(data: bytes):
     width = int.from_bytes(body[0:4], "big")
     height = int.from_bytes(body[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = body[8:13]
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
             f"interlace={interlace})"
@@ -126,63 +154,19 @@ def png_header_dims(data: bytes):
     return width, height
 
 
-def decode_png(data: bytes):
-    """REAL PNG decode (pure stdlib): chunk walk with CRC verification, IDAT
-    inflate, and full per-scanline unfiltering (None/Sub/Up/Average/Paeth,
-    PNG spec §9 'Filtering' — https://www.w3.org/TR/png/). Supports the
-    8-bit non-interlaced greyscale/RGB/RGBA subset, which is what
-    ``encode_png`` writes and what tiny thumbnails need; anything else
-    raises ValueError for the caller's per-item containment.
-
-    Returns (width, height, channels, rows) with ``rows`` a list of
-    bytearrays of raw samples (stride = width × channels)."""
-    import zlib
-
-    if data[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos = 8
-    ihdr = None
-    idat = b""
-    while pos + 8 <= len(data):
-        length = int.from_bytes(data[pos:pos + 4], "big")
-        ctype = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        crc = int.from_bytes(data[pos + 8 + length:pos + 12 + length], "big")
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {ctype!r}")
-        if ctype == b"IHDR":
-            ihdr = body
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    width = int.from_bytes(ihdr[0:4], "big")
-    height = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace})"
-        )
-    channels = _PNG_CHANNELS[color_type]
-    _check_png_dims(width, height)
-    stride = width * channels
-    expected = (stride + 1) * height
-    # bounded inflate (zlib-bomb guard): a few KB of IDAT can legally
-    # declare gigabytes of output; decompress at most expected+1 bytes and
-    # reject any mismatch instead of materializing the bomb
-    d = zlib.decompressobj()
-    raw = d.decompress(idat, expected + 1)
-    if len(raw) != expected or d.decompress(b"", 1):
-        raise ValueError("IDAT length mismatch")
+def _unfilter_lines(raw: bytes, pos: int, n_px: int, n_lines: int, channels: int):
+    """Unfilter ``n_lines`` scanlines of ``n_px`` pixels starting at
+    ``raw[pos]`` (each line is 1 filter byte + n_px×channels samples; the
+    Up/Average/Paeth predecessor resets to zeros at the start — each Adam7
+    pass, like the whole image, filters against its OWN first line only).
+    Filters per PNG spec §9 'Filtering' — https://www.w3.org/TR/png/.
+    Returns (rows, end_pos)."""
+    stride = n_px * channels
     rows = []
     prev = bytearray(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+    for _ in range(n_lines):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
         if ftype == 1:  # Sub
             for i in range(channels, stride):
                 line[i] = (line[i] + line[i - channels]) & 0xFF
@@ -206,33 +190,211 @@ def decode_png(data: bytes):
             raise ValueError(f"unknown filter {ftype}")
         rows.append(line)
         prev = line
+        pos += stride + 1
+    return rows, pos
+
+
+def decode_png(data: bytes):
+    """REAL PNG decode (pure stdlib): chunk walk with CRC verification, IDAT
+    inflate, full per-scanline unfiltering (None/Sub/Up/Average/Paeth),
+    Adam7 de-interlacing, and palette expansion (PLTE + optional tRNS).
+    Supports all four 8-bit color types × both interlace methods; anything
+    else (16-bit, grey+alpha, corrupt) raises ValueError for the caller's
+    per-item containment.
+
+    Returns (width, height, channels, rows) with ``rows`` a list of
+    bytearrays of raw samples (stride = width × channels). Palette images
+    decode to their EXPANDED truecolor form — channels is 3, or 4 when a
+    tRNS chunk supplies per-entry alpha (absent entries default opaque per
+    spec §11.3.2)."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = b""
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = int.from_bytes(data[pos + 8 + length:pos + 12 + length], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    _check_png_dims(width, height)
+    if color_type == 3:
+        # palette validity BEFORE touching pixel data (hostile-payload rule)
+        if plte is None or len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("palette image without a valid PLTE")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than the palette")
+    stride = width * channels
+    if interlace == 0:
+        expected = (stride + 1) * height
+    else:
+        expected = sum(
+            (pw * channels + 1) * ph
+            for _xs, _ys, _xst, _yst, pw, ph in _adam7_pass_dims(width, height)
+        )
+    # bounded inflate (zlib-bomb guard): a few KB of IDAT can legally
+    # declare gigabytes of output; decompress at most expected+1 bytes and
+    # reject any mismatch instead of materializing the bomb
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
+        raise ValueError("IDAT length mismatch")
+    if interlace == 0:
+        rows, _ = _unfilter_lines(raw, 0, width, height, channels)
+    else:
+        rows = [bytearray(stride) for _ in range(height)]
+        pos = 0
+        for xs, ys, xstep, ystep, pw, ph in _adam7_pass_dims(width, height):
+            prows, pos = _unfilter_lines(raw, pos, pw, ph, channels)
+            for i, prow in enumerate(prows):
+                dst = rows[ys + i * ystep]
+                for j in range(pw):
+                    x = xs + j * xstep
+                    dst[x * channels:(x + 1) * channels] = prow[
+                        j * channels:(j + 1) * channels
+                    ]
+    if color_type == 3:
+        return _expand_palette(width, height, rows, plte, trns)
     return width, height, channels, rows
 
 
-def encode_png(width: int, height: int, channels: int, rows) -> bytes:
-    """REAL PNG encode (pure stdlib): 8-bit non-interlaced greyscale/RGB/
-    RGBA, filter type 0 per scanline, one zlib-deflated IDAT."""
+def _expand_palette(width: int, height: int, rows, plte: bytes, trns):
+    """Index rows → truecolor rows via PLTE lookup; RGBA when tRNS present
+    (entries past the tRNS length are opaque, spec §11.3.2). An index at or
+    past the palette end is corrupt data → ValueError (containment)."""
+    n = len(plte) // 3
+    out_ch = 4 if trns else 3
+    lut = []
+    for i in range(n):
+        rgb = plte[3 * i:3 * i + 3]
+        if trns:
+            alpha = trns[i] if i < len(trns) else 255
+            lut.append(bytes(rgb) + bytes([alpha]))
+        else:
+            lut.append(bytes(rgb))
+    out = []
+    for row in rows:
+        line = bytearray(width * out_ch)
+        for x, idx in enumerate(row):
+            if idx >= n:
+                raise ValueError(f"palette index {idx} out of range (n={n})")
+            line[x * out_ch:(x + 1) * out_ch] = lut[idx]
+        out.append(line)
+    return width, height, out_ch, out
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + ctype + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _interlaced_scanlines(width: int, height: int, channels: int, rows) -> bytes:
+    """Serialize rows in Adam7 pass order, filter type 0 per pass line."""
+    parts = []
+    for xs, ys, xstep, ystep, pw, _ph in _adam7_pass_dims(width, height):
+        for y in range(ys, height, ystep):
+            src = rows[y]
+            line = bytearray(pw * channels)
+            for j in range(pw):
+                x = xs + j * xstep
+                line[j * channels:(j + 1) * channels] = src[
+                    x * channels:(x + 1) * channels
+                ]
+            parts.append(b"\x00" + bytes(line))
+    return b"".join(parts)
+
+
+def encode_png(width: int, height: int, channels: int, rows, interlace: bool = False) -> bytes:
+    """REAL PNG encode (pure stdlib): 8-bit greyscale/RGB/RGBA, filter type
+    0 per scanline, one zlib-deflated IDAT; Adam7 pass order when
+    ``interlace``. Validates the same dimension bounds the decoder enforces
+    (codec contract: encode raises or its output decodes)."""
     import zlib
 
     color_type = {1: 0, 3: 2, 4: 6}[channels]
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + ctype + body
-            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
-        )
-
+    _check_png_dims(width, height)
+    if len(rows) != height or any(len(r) != width * channels for r in rows):
+        raise ValueError("rows do not match the declared geometry")
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, 1 if interlace else 0])
     )
-    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    if interlace:
+        raw = _interlaced_scanlines(width, height, channels, rows)
+    else:
+        raw = b"".join(b"\x00" + bytes(r) for r in rows)
     return (
         _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_indexed(
+    width: int, height: int, palette, rows, trns=None, interlace: bool = False
+) -> bytes:
+    """REAL palette PNG encode (color type 3): ``palette`` is a sequence of
+    ≤256 (r, g, b) entries, ``rows`` are index scanlines, ``trns`` an
+    optional sequence of per-entry alphas (≤ palette length). Same codec
+    contract as encode_png: everything the decoder would reject raises
+    here first."""
+    import zlib
+
+    _check_png_dims(width, height)
+    if not 1 <= len(palette) <= 256:
+        raise ValueError(f"palette must have 1..256 entries, got {len(palette)}")
+    if trns is not None and len(trns) > len(palette):
+        raise ValueError("tRNS longer than the palette")
+    if len(rows) != height or any(len(r) != width for r in rows):
+        raise ValueError("rows do not match the declared geometry")
+    if any(idx >= len(palette) for r in rows for idx in r):
+        raise ValueError("palette index out of range")
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 1 if interlace else 0])
+    )
+    if interlace:
+        raw = _interlaced_scanlines(width, height, 1, [bytearray(r) for r in rows])
+    else:
+        raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", b"".join(bytes(entry) for entry in palette))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
 def resize_png(data: bytes, max_dim: int) -> tuple:
@@ -540,7 +702,7 @@ def decode_media(payload: bytes, kind: str, strict: bool = False):
             w, h = png_header_dims(payload)
             return w, h, 1
         except Exception:
-            pass  # unsupported PNG shape (16-bit, interlace, corrupt) →
+            pass  # unsupported PNG shape (16-bit, grey+alpha, corrupt) →
             # fall through to the Pillow probe, then the stub
     elif _is_wav(payload):
         try:

@@ -1185,6 +1185,162 @@ def test_png_decoder_rejects_bombs():
     assert decode_png(ok)[:2] == (2, 2)
 
 
+def test_png_interlaced_roundtrip_grid():
+    """Adam7 round-trip CONTRACT across the geometry grid (CLAUDE.md codec
+    rule): widths/heights 1..9 hit every combination of empty passes (a
+    1x1 image has ONE pass with one pixel; 5x3 leaves passes 2 and 3
+    empty, etc.), and the de-interlaced pixels must be bit-identical to
+    the progressive decode of the same rows."""
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png
+
+    for ch in (1, 3, 4):
+        for w in (1, 2, 3, 4, 5, 7, 8, 9):
+            for h in (1, 2, 3, 5, 8, 9):
+                rows = _test_pixels(w, h, ch)
+                inter = encode_png(w, h, ch, rows, interlace=True)
+                w2, h2, ch2, rows2 = decode_png(inter)
+                assert (w2, h2, ch2) == (w, h, ch), (w, h, ch)
+                assert [bytes(r) for r in rows2] == [bytes(r) for r in rows], (w, h, ch)
+
+
+def test_png_interlaced_filters_reset_per_pass():
+    """Each Adam7 pass filters against its own first line (prev resets to
+    zeros) — hand-build an interlaced 2x2 whose single pass lines use the
+    Up filter to prove the reset, instead of trusting the encoder's
+    filter-0-only output."""
+    import zlib
+
+    from jsonld_rs_spark.ops.multimodal import _png_chunk, _PNG_MAGIC, decode_png
+
+    # 2x2 grey: passes 1 (pixel 0,0), 6 (pixel 1,0), 7 (row y=1, 2 px)
+    # every line uses filter 2 (Up); with per-pass reset, the first line of
+    # EVERY pass adds zero — so values decode verbatim
+    raw = bytes([2, 10]) + bytes([2, 20]) + bytes([2, 30, 40])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    data = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    w, h, ch, rows = decode_png(data)
+    assert (w, h, ch) == (2, 2, 1)
+    assert [bytes(r) for r in rows] == [bytes([10, 20]), bytes([30, 40])]
+
+
+def test_png_palette_roundtrip_and_trns():
+    """Palette encode -> decode expands through the PLTE (and tRNS when
+    present: entries past its end are opaque per spec §11.3.2), both
+    progressive and interlaced."""
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png_indexed
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    rows = [bytes([0, 1, 2, 3, 0]), bytes([3, 2, 1, 0, 1]), bytes([1, 1, 3, 3, 2])]
+    for interlace in (False, True):
+        data = encode_png_indexed(5, 3, palette, rows, interlace=interlace)
+        w, h, ch, out = decode_png(data)
+        assert (w, h, ch) == (5, 3, 3)
+        expect = [
+            b"".join(bytes(palette[i]) for i in r) for r in rows
+        ]
+        assert [bytes(r) for r in out] == expect
+
+    # tRNS shorter than the palette: entry 2/3 default to alpha 255
+    data = encode_png_indexed(5, 3, palette, rows, trns=[0, 128])
+    w, h, ch, out = decode_png(data)
+    assert ch == 4
+    alpha = {0: 0, 1: 128, 2: 255, 3: 255}
+    expect = [
+        b"".join(bytes(palette[i]) + bytes([alpha[i]]) for i in r) for r in rows
+    ]
+    assert [bytes(r) for r in out] == expect
+
+
+def test_png_palette_and_interlace_hostile():
+    """Hostile shapes for the new branches, per-axis-bounds lesson applied:
+    bad palettes, out-of-range indices, truncated interlaced IDAT, and
+    unknown interlace methods all raise for per-item containment; the
+    encoders refuse everything their decoder would reject (codec
+    contract)."""
+    import zlib
+
+    import pytest as _pytest
+
+    from jsonld_rs_spark.ops.multimodal import (
+        _png_chunk,
+        _PNG_MAGIC,
+        decode_png,
+        encode_png,
+        encode_png_indexed,
+        png_header_dims,
+    )
+
+    def build(color, interlace, body_raw, extra=b""):
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+            [8, color, 0, 0, interlace]
+        )
+        return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(body_raw))
+                + _png_chunk(b"IEND", b""))
+
+    # color 3 without PLTE / empty PLTE / non-multiple-of-3 / oversized
+    raw = bytes([0, 0, 0]) + bytes([0, 0, 0])
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(build(3, 0, raw))
+    for plte in (b"", b"\x01\x02", b"\x00" * 771):
+        with _pytest.raises(ValueError, match="PLTE"):
+            decode_png(build(3, 0, raw, extra=_png_chunk(b"PLTE", plte)))
+    # index past the palette end is corrupt data
+    bad_idx = bytes([0, 1, 0]) + bytes([0, 1, 0])
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(build(3, 0, bad_idx, extra=_png_chunk(b"PLTE", b"\x01\x02\x03")))
+    # tRNS longer than the palette
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_png(build(
+            3, 0, raw,
+            extra=_png_chunk(b"PLTE", b"\x01\x02\x03") + _png_chunk(b"tRNS", b"\x00\x01"),
+        ))
+    # unknown interlace method
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(build(0, 2, bytes(6)))
+    with _pytest.raises(ValueError, match="unsupported"):
+        png_header_dims(build(0, 2, bytes(6)))
+    # truncated interlaced IDAT: 2x2 grey needs passes 1+6+7 = 2+2+3 bytes
+    with _pytest.raises(ValueError, match="IDAT length"):
+        decode_png(build(0, 1, bytes(5)))
+    # encoder contract: refuse what the decoder rejects
+    with _pytest.raises(ValueError):
+        encode_png(0, 0, 3, [])
+    with _pytest.raises(ValueError):
+        encode_png(2, 2, 3, [bytes(6)])  # geometry mismatch
+    with _pytest.raises(ValueError):
+        encode_png_indexed(2, 2, [], [bytes(2), bytes(2)])
+    with _pytest.raises(ValueError):
+        encode_png_indexed(2, 2, [(1, 2, 3)], [bytes([0, 1]), bytes(2)])  # idx 1
+    with _pytest.raises(ValueError):
+        encode_png_indexed(2, 2, [(1, 2, 3)], [bytes(2), bytes(2)], trns=[0, 0])
+
+
+def test_png_header_and_media_path_cover_new_shapes():
+    """png_header_dims reports real dims for interlaced and palette PNGs
+    (the hot metadata path no longer falls back to the stub for them), and
+    resize works end-to-end off the expanded decode."""
+    from jsonld_rs_spark.ops.multimodal import (
+        decode_media,
+        encode_png,
+        encode_png_indexed,
+        png_header_dims,
+        resize_png,
+    )
+
+    inter = encode_png(9, 5, 3, _test_pixels(9, 5, 3), interlace=True)
+    assert png_header_dims(inter) == (9, 5)
+    assert decode_media(inter, "image") == (9, 5, 1)
+
+    pal = encode_png_indexed(6, 4, [(9, 9, 9), (1, 2, 3)], [bytes([0, 1] * 3)] * 4)
+    assert png_header_dims(pal) == (6, 4)
+    assert decode_media(pal, "image") == (6, 4, 1)
+
+    resized, nw, nh = resize_png(pal, max_dim=3)
+    assert (nw, nh) == (3, 2)
+
+
 def test_media_guards_against_hostile_payloads(spark):
     """Review r6, all verified-by-execution attack shapes must be contained:
 
