@@ -317,7 +317,13 @@ def rdf_to_jsonld(
                 elif len(node) > 3:
                     break
                 first_values = node[RDF_FIRST]
-                if len(first_values) != 1:
+                # §10.5: a well-formed list node has exactly ONE value for
+                # BOTH rdf:first and rdf:rest. The rest-arity check is
+                # load-bearing: without it a node carrying two rdf:rest
+                # arcs (malformed crawl RDF) reconstructed as a list and
+                # the non-walked branch's members vanished from the output
+                # entirely (found by the r7 fromRDF fixture authoring).
+                if len(first_values) != 1 or len(node[RDF_REST]) != 1:
                     break
                 chain.append(first_values[0])
                 list_nodes.append(node_id)

@@ -352,6 +352,255 @@ CASES = [
             }
         },
     ),
+    (
+        "fr020",
+        "a chain ending at a non-nil IRI is no list at all (no rdf:nil "
+        "usage, nothing reconstructs); the object-only tail node is elided",
+        "<http://e/s> <http://e/p> _:l1 .\n"
+        f'_:l1 <{_FIRST}> "a" .\n'
+        f"_:l1 <{_REST}> <http://e/tail> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:l1"}],
+            },
+            "_:l1": {
+                "@id": "_:l1",
+                _FIRST: [{"@value": "a"}],
+                _REST: [{"@id": "http://e/tail"}],
+            },
+        },
+    ),
+    (
+        "fr021",
+        "two rdf:first values make the node non-well-formed (§10.5): the "
+        "chain stays unreconstructed, only the nil reference becomes an "
+        "empty @list",
+        "<http://e/s> <http://e/p> _:l1 .\n"
+        f'_:l1 <{_FIRST}> "a" .\n'
+        f'_:l1 <{_FIRST}> "b" .\n'
+        f"_:l1 <{_REST}> <{_NIL}> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:l1"}],
+            },
+            "_:l1": {
+                "@id": "_:l1",
+                _FIRST: [{"@value": "a"}, {"@value": "b"}],
+                _REST: [{"@list": []}],
+            },
+        },
+    ),
+    (
+        "fr022",
+        "two rdf:rest values make the node non-well-formed (§10.5 demands "
+        "exactly one of EACH): before the r7 rest-arity fix this node "
+        "reconstructed anyway and the second branch's member vanished "
+        "from the output entirely; now the fork is preserved and only the "
+        "well-formed inner chain converts",
+        "<http://e/s> <http://e/p> _:l1 .\n"
+        f'_:l1 <{_FIRST}> "a" .\n'
+        f"_:l1 <{_REST}> <{_NIL}> .\n"
+        f"_:l1 <{_REST}> _:l2 .\n"
+        f'_:l2 <{_FIRST}> "b" .\n'
+        f"_:l2 <{_REST}> <{_NIL}> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:l1"}],
+            },
+            "_:l1": {
+                "@id": "_:l1",
+                _FIRST: [{"@value": "a"}],
+                _REST: [{"@list": []}, {"@list": [{"@value": "b"}]}],
+            },
+        },
+    ),
+    (
+        "fr023",
+        "an IRI-headed chain is no list (list nodes must be blank): the "
+        "nil reference still converts to an empty @list",
+        "<http://e/s> <http://e/p> <http://e/l1> .\n"
+        f'<http://e/l1> <{_FIRST}> "a" .\n'
+        f"<http://e/l1> <{_REST}> <{_NIL}> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "http://e/l1"}],
+            },
+            "http://e/l1": {
+                "@id": "http://e/l1",
+                _FIRST: [{"@value": "a"}],
+                _REST: [{"@list": []}],
+            },
+        },
+    ),
+    (
+        "fr024",
+        "language-tagged members survive list reconstruction with their "
+        "tags",
+        "<http://e/s> <http://e/p> _:l1 .\n"
+        f'_:l1 <{_FIRST}> "hola"@es .\n'
+        f"_:l1 <{_REST}> _:l2 .\n"
+        f'_:l2 <{_FIRST}> "hello"@en .\n'
+        f"_:l2 <{_REST}> <{_NIL}> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [
+                    {
+                        "@list": [
+                            {"@value": "hola", "@language": "es"},
+                            {"@value": "hello", "@language": "en"},
+                        ]
+                    }
+                ],
+            }
+        },
+    ),
+    (
+        "fr025",
+        "a BLANK graph label attaches @graph under the default-graph blank "
+        "node bearing it (same rule as IRI labels)",
+        '_:g <http://e/anchor> "in-default" .\n'
+        "<http://e/s> <http://e/p> _:g .\n"
+        '<http://e/a> <http://e/b> "x" _:g .\n',
+        {},
+        {
+            "_:g": {
+                "@id": "_:g",
+                "http://e/anchor": [{"@value": "in-default"}],
+                "@graph": [
+                    {"@id": "http://e/a", "http://e/b": [{"@value": "x"}]}
+                ],
+            },
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:g"}],
+            },
+        },
+    ),
+    (
+        "fr026",
+        "rdf:type with a blank-node object aggregates into @type like an "
+        "IRI object",
+        f"<http://e/s> <{_RDF}type> _:t .\n"
+        '_:t <http://e/q> "y" .\n',
+        {},
+        {
+            "http://e/s": {"@id": "http://e/s", "@type": ["_:t"]},
+            "_:t": {"@id": "_:t", "http://e/q": [{"@value": "y"}]},
+        },
+    ),
+    (
+        "fr027",
+        "rdf:type with a LITERAL object bypasses @type aggregation (the "
+        "step applies to IRI/blank objects only) and stays an ordinary "
+        "property",
+        f'<http://e/s> <{_RDF}type> "Person" .\n',
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                _RDF + "type": [{"@value": "Person"}],
+            }
+        },
+    ),
+    (
+        "fr028",
+        "a graph whose name is a subject INSIDE its own graph: the inner "
+        "node appears under @graph with the same @id as its carrier",
+        '<http://e/g> <http://e/p> "anchor" .\n'
+        '<http://e/g> <http://e/q> "inner" <http://e/g> .\n',
+        {},
+        {
+            "http://e/g": {
+                "@id": "http://e/g",
+                "http://e/p": [{"@value": "anchor"}],
+                "@graph": [
+                    {"@id": "http://e/g", "http://e/q": [{"@value": "inner"}]}
+                ],
+            }
+        },
+    ),
+    (
+        "fr029",
+        "two chains sharing a tail: the shared node's usage is not unique, "
+        "so neither list reconstructs and the fork stays explicit",
+        "<http://e/s> <http://e/p> _:a .\n"
+        "<http://e/s> <http://e/q> _:b .\n"
+        f'_:a <{_FIRST}> "x" .\n'
+        f"_:a <{_REST}> _:t .\n"
+        f'_:b <{_FIRST}> "y" .\n'
+        f"_:b <{_REST}> _:t .\n"
+        f'_:t <{_FIRST}> "z" .\n'
+        f"_:t <{_REST}> <{_NIL}> .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:a"}],
+                "http://e/q": [{"@id": "_:b"}],
+            },
+            "_:a": {
+                "@id": "_:a",
+                _FIRST: [{"@value": "x"}],
+                _REST: [{"@id": "_:t"}],
+            },
+            "_:b": {
+                "@id": "_:b",
+                _FIRST: [{"@value": "y"}],
+                _REST: [{"@id": "_:t"}],
+            },
+            "_:t": {
+                "@id": "_:t",
+                _FIRST: [{"@value": "z"}],
+                _REST: [{"@list": []}],
+            },
+        },
+    ),
+    (
+        "fr030",
+        "native doubles: exponent lexicals parse as JSON numbers; "
+        '"1"^^xsd:double natively converts to JSON INTEGER 1 (reference '
+        "parity, rdf.rs:215-267 — doubleness is lost and a re-serialization "
+        "would emit xsd:integer); xsd:decimal is never converted",
+        f'<http://e/s> <http://e/a> "1.0E0"^^<{_XSD}double> .\n'
+        f'<http://e/s> <http://e/b> "1.5"^^<{_XSD}decimal> .\n'
+        f'<http://e/s> <http://e/c> "1"^^<{_XSD}double> .\n',
+        {"useNativeTypes": True},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/a": [{"@value": 1.0}],
+                "http://e/b": [{"@value": "1.5", "@type": _XSD + "decimal"}],
+                "http://e/c": [{"@value": 1}],
+            }
+        },
+    ),
+    (
+        "fr031",
+        "a blank-node cycle keeps both nodes at top level with mutual "
+        "references (no inlining in the node-map form)",
+        "<http://e/s> <http://e/p> _:a .\n"
+        "_:a <http://e/p> _:b .\n"
+        "_:b <http://e/p> _:a .\n",
+        {},
+        {
+            "http://e/s": {
+                "@id": "http://e/s",
+                "http://e/p": [{"@id": "_:a"}],
+            },
+            "_:a": {"@id": "_:a", "http://e/p": [{"@id": "_:b"}]},
+            "_:b": {"@id": "_:b", "http://e/p": [{"@id": "_:a"}]},
+        },
+    ),
 ]
 
 
