@@ -376,6 +376,11 @@ def encode_png_indexed(
     _check_png_dims(width, height)
     if not 1 <= len(palette) <= 256:
         raise ValueError(f"palette must have 1..256 entries, got {len(palette)}")
+    # entry SHAPE, not just count (review r7): a 4-component entry either
+    # fails the decoder's len%3 check or — worse, when the total happens to
+    # divide by 3 — silently re-frames the PLTE into different colors
+    if any(len(entry) != 3 for entry in palette):
+        raise ValueError("palette entries must be exactly (r, g, b)")
     if trns is not None and len(trns) > len(palette):
         raise ValueError("tRNS longer than the palette")
     if len(rows) != height or any(len(r) != width for r in rows):

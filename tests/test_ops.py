@@ -1315,6 +1315,15 @@ def test_png_palette_and_interlace_hostile():
         encode_png_indexed(2, 2, [(1, 2, 3)], [bytes([0, 1]), bytes(2)])  # idx 1
     with _pytest.raises(ValueError):
         encode_png_indexed(2, 2, [(1, 2, 3)], [bytes(2), bytes(2)], trns=[0, 0])
+    # entry SHAPE (review r7): an RGBA-looking 4-tuple entry must raise —
+    # with three such entries the 12-byte PLTE passes the decoder's len%3
+    # check and silently re-frames into four WRONG colors
+    with _pytest.raises(ValueError, match="exactly"):
+        encode_png_indexed(2, 2, [(1, 2, 3, 255)], [bytes(2), bytes(2)])
+    with _pytest.raises(ValueError, match="exactly"):
+        encode_png_indexed(
+            2, 2, [(1, 2, 3, 255)] * 3, [bytes(2), bytes(2)]
+        )
 
 
 def test_png_header_and_media_path_cover_new_shapes():
