@@ -315,18 +315,26 @@ class _Canonicalizer:
         already-canonical labels kept, all other blanks collapsed to _:z.
         Input-label-independent by construction.
 
-        Known residual (ADVICE r6, accepted risk): because not-yet-labeled
-        blanks OUTSIDE the candidate's issuance order all collapse to the
-        single marker _:z, two non-automorphic candidates can in principle
-        still serialize identically — when their difference lives entirely
-        in how they connect to a THIRD unlabeled tie group — and the sort
-        then falls back to n-degree-hash order alone, i.e. input order. No
-        fixture in the 47-case suite (incl. the two-pair bucket c0047)
-        reaches this: a same-bucket pair's quads are serialized while the
-        OTHER pair is still _:z, but the candidates of one pair differ in
-        their OWN labels, which is enough. If it ever bites, the fix is to
-        recurse: re-serialize after hypothetically issuing the colliding
-        neighbors instead of collapsing them to _:z."""
+        The _:z collapse residual ADVICE r6 flagged (two non-automorphic
+        candidates serializing identically because their difference lives
+        in a third unlabeled tie group) is VACUOUS, argued r7 from the
+        algorithm's own structure: hash_n_degree temp-issues every related
+        non-canonical blank it meets (even ones it does not recurse into a
+        second time) and recurses transitively, so ``result_issuer.order``
+        spans the candidate's entire weakly-connected blank component —
+        every blank that could witness non-automorphism between same-
+        component candidates carries a real hypothetical label in the key,
+        and a full-label serialization of a whole component is a complete
+        isomorphism invariant (equal keys compose the two label maps into
+        an automorphism mapping one candidate to the other; for different-
+        component candidates, equal keys make the components isomorphic
+        and the swap is an automorphism). _:z therefore only ever stands
+        for blanks in OTHER components, which cannot affect the tie.
+        Exercised adversarially by
+        tests/test_urdna_property.py::test_chained_collision_gadgets_invariance
+        (two c0044 gadgets cross-linked so one pair's difference lives
+        entirely in the other pair — the exact shape the residual would
+        need)."""
         hypothetical = self.canonical.copy()
         bmap = {b: hypothetical.issue(b) for b in result_issuer.order}
         bmap.update(self.canonical.issued)

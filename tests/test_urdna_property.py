@@ -195,3 +195,78 @@ def test_canonicalization_invariant_with_blank_graph_labels(seed):
     a = canonical_nquads(build(gquads, {}))
     b = canonical_nquads(build(shuffled, mapping))
     assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 100_000))
+def test_chained_collision_gadgets_invariance(seed):
+    """r7: targeted probe of the _tie_key residual ADVICE r6 flagged as
+    accepted risk (urdna2015.py:_tie_key docstring) — two c0044-style
+    blank-graph collision gadgets CHAINED by cross-links, so one pair's
+    candidates differ only through their connection to the OTHER pair.
+    If the _:z collapse could really make non-automorphic candidates
+    serialize identically, this composition is the shape that triggers it
+    and the canonical form would depend on input label order. It cannot:
+    hash_n_degree temp-issues every related non-canonical blank (and
+    recurses transitively), so a candidate's issuance order spans its
+    entire weakly-connected blank component — _:z only ever stands for
+    blanks in OTHER components, and a full-label serialization over a
+    whole component is a complete isomorphism invariant. This sweep
+    asserts byte-identical canonical N-Quads across random relabelings
+    and quad orders of the chained gadgets, with and without
+    distinguishing literals on the second pair's graph labels."""
+    rng = random.Random(seed)
+    R = "http://p.example/r"
+    L = "http://p.example/l"
+    Q2 = "http://p.example/q"
+    gquads = [
+        # gadget 1: (n1, n2) tied through blank graph labels ga/gb
+        ("_:ga", Quad("_:n1", R, "id", "_:n2")),
+        ("_:gb", Quad("_:n2", R, "id", "_:n1")),
+        # gadget 2: (m1, m2) tied through gc/gd
+        ("_:gc", Quad("_:m1", R, "id", "_:m2")),
+        ("_:gd", Quad("_:m2", R, "id", "_:m1")),
+        # cross-links: n-pair's difference lives in the m-pair connection
+        ("@default", Quad("_:n1", L, "id", "_:m1")),
+        ("@default", Quad("_:n2", L, "id", "_:m2")),
+    ]
+    if rng.random() < 0.5:
+        # distinguishing literals on gc/gd make (m1, m2) genuinely
+        # non-automorphic — the adversarial variant from the analysis
+        gquads.append(("@default", Quad("_:gc", Q2, "literal", "x", XSD_STRING)))
+        gquads.append(("@default", Quad("_:gd", Q2, "literal", "y", XSD_STRING)))
+    if rng.random() < 0.3:
+        # anchor one n-side too: fully rigid dataset
+        gquads.append(("@default", Quad("_:ga", Q2, "literal", "a", XSD_STRING)))
+
+    blanks = sorted({
+        t
+        for g, q in gquads
+        for t in (g, q.subj, q.obj_value if q.obj_kind == "id" else None)
+        if t and t.startswith("_:")
+    })
+    permuted = list(blanks)
+    rng.shuffle(permuted)
+    mapping = {b: f"_:w{i}_{p[2:]}" for i, (b, p) in enumerate(zip(blanks, permuted))}
+
+    def build(quads, relabel):
+        ds = {}
+        for g, q in quads:
+            ds.setdefault(relabel.get(g, g), []).append(
+                Quad(
+                    relabel.get(q.subj, q.subj),
+                    q.pred,
+                    q.obj_kind,
+                    relabel.get(q.obj_value, q.obj_value)
+                    if q.obj_kind == "id" else q.obj_value,
+                    q.obj_datatype,
+                    q.obj_lang,
+                )
+            )
+        return ds
+
+    shuffled = list(gquads)
+    rng.shuffle(shuffled)
+    assert canonical_nquads(build(gquads, {})) == canonical_nquads(
+        build(shuffled, mapping)
+    )
