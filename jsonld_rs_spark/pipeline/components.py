@@ -58,12 +58,17 @@ def _large_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
     )
     nbrs = bidir.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     mins = _min_neighbor(nbrs, salt_buckets)
+    # No trailing distinct (r8): duplicates here are bounded (one output row
+    # per bidirected input edge) and the small-star that always follows
+    # dedups its own output — the distinct was a full extra exchange per
+    # round for an edge SET that small-star's min-agg tolerates as a
+    # multiset. Round-by-round edge sets (and so rounds/convergence/result)
+    # are unchanged; only the intermediate multiset carries duplicates.
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -134,17 +139,25 @@ def connected_components(
     """
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    # Materialize the INPUT plan once (r8, guide §2.4): edges and all_nodes
+    # both consume edges_df, and the two eager localCheckpoints here used to
+    # run the full upstream plan twice — for corpus_filter that upstream is
+    # the whole MinHash+Jaccard-verify chain (~6 s recomputed at sf0.1 for a
+    # 33-edge graph). One lazy checkpoint of the narrow (src, dst)
+    # projection feeds both derivations; everything materializes inside the
+    # first action that needs it (the round-1 convergence signature), and
+    # all_nodes reuses the materialized base when the final label join runs.
+    base = edges_df.select("src", "dst").localCheckpoint(eager=False)
     edges = (
-        edges_df.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
+        base.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
-        edges_df.select(F.col("src").alias("node"))
-        .unionByName(edges_df.select(F.col("dst").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .unionByName(base.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     prev_sig = None
