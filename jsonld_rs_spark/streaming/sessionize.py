@@ -118,7 +118,7 @@ def sessionize(events_stream: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFr
     )
 
 
-def await_drained(query, timeout_sec: float = None, poll_sec: float = 0.5) -> None:
+def await_drained(query, timeout_sec: float = None, poll_sec: float = 0.15) -> None:
     """Wait until an ``availableNow`` stateful query has processed all
     available input, then stop it.
 
@@ -188,6 +188,7 @@ def sessionize_replay(
     events_df: DataFrame,
     gap_us: int = GAP_US_DEFAULT,
     n_stage_files: int = 8,
+    n_state_partitions: int = None,
 ) -> DataFrame:
     """Batch-complete sessionization THROUGH the streaming engine: stage the
     events as a file-source replay, run the applyInPandasWithState operator
@@ -203,15 +204,37 @@ def sessionize_replay(
     one reader. Hash staging also pins each user's full history to exactly
     one file — so however the engine groups files into micro-batches, a
     user's events always arrive in a single batch and the cross-batch
-    out-of-order caveat (module docstring) can never change the result."""
+    out-of-order caveat (module docstring) can never change the result.
+
+    ``n_state_partitions`` sizes the stateful operator's state-store shard
+    count (the streaming twin of spark.sql.shuffle.partitions, frozen into
+    the checkpoint at batch 0). Every shard pays a fixed commit + delta-file
+    + cleanup cost PER MICRO-BATCH — including the empty state-cleanup
+    batches an availableNow replay always schedules — so shards beyond the
+    staged input parallelism only multiply fixed costs (measured at
+    sf0.1/local[32]: 64 shards → 1.9 s per empty batch + 2.2-3.7 s data
+    batch; 8 shards → 0.5 s + 1.6 s; identical output — partitioning only
+    distributes keys). Default: one shard per staged input file,
+    overridable via $SPARK_GRAFT_SESSION_STATE_PARTITIONS; at production
+    scale raise ``n_stage_files`` and this together so each shard holds a
+    meaningful key slice."""
+    import os as _os
     import shutil
     import tempfile
     import uuid
 
+    if n_state_partitions is None:
+        n_state_partitions = int(
+            _os.environ.get("SPARK_GRAFT_SESSION_STATE_PARTITIONS", n_stage_files)
+        )
     stage = tempfile.mkdtemp(prefix="sess_replay_in_")
     ckpt = tempfile.mkdtemp(prefix="sess_replay_ck_")
     name = "sessions_" + uuid.uuid4().hex[:12]
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # scoped to this replay; restored below. Only the value at batch 0
+        # matters for the state layout, but the whole query runs under it.
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state_partitions))
         events_df.select("user_id", "ts").repartition(
             n_stage_files, "user_id"
         ).write.mode("overwrite").parquet(stage)
@@ -232,6 +255,7 @@ def sessionize_replay(
         spark.catalog.dropTempView(name)
         flushed = flush_open_sessions(spark, ckpt).localCheckpoint()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return emitted.unionByName(flushed)
