@@ -301,10 +301,21 @@ def _word_bit(word_col, bit: int):
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash signature over words: bit b is the sign of Σ_words (±1)."""
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    """SimHash signature over words: bit b is the sign of Σ_words (±1).
+
+    md5(word) is hoisted into ONE projection column below the aggregate
+    (r8). Measured perf-NEUTRAL at sf0.1 (interleaved noop A/B: old
+    0.73-0.78 s vs new 0.75-0.86 s warm) — codegen subexpression
+    elimination already deduplicated the 16 embedded md5(word) calls — but
+    the explicit single-hash projection keeps the expression tree honest
+    about the work done. Identical values (each bit reads one hex char of
+    the same digest); pinned by test_simhash_matches_per_bit_python_recompute."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", F.md5("word").alias("h"))
     aggs = [
-        F.sum(_word_bit(F.col("word"), b) * 2 - 1).alias(f"s{b}") for b in range(bits)
+        F.sum((F.ascii(F.substring(F.col("h"), b + 1, 1)) % 2) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
     ]
     sums = words.groupBy("doc_id").agg(*aggs)
     value = None

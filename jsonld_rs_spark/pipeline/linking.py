@@ -1,9 +1,11 @@
 """Entity mention detection + link scoring (SURVEY.md §2.2 'Hash join').
 
-Mentions are detected in page text with vectorized pandas string ops (the
-dictionary is small and ships inside the broadcast join anyway — at real
-scale the surface-form set is a broadcast trie; here regex word-boundary
-counts per form are exact and fully vectorized, no per-row Python).
+Mentions are detected in page text with JVM regexp_count column algebra —
+one counting expression per surface form fused into a single codegen
+projection, no Python boundary (the dictionary is small and ships inside
+the broadcast join anyway; at real scale the surface-form set is a
+broadcast trie). A pure-Python counting twin stays in this module as the
+golden reference for the A/B test.
 
 Link scoring is a **broadcast hash join**: mentions ⨝ broadcast(dictionary)
 on surface_form — no shuffle of the big side. "data" is the deliberate
@@ -13,11 +15,9 @@ hub key (~30% of documents) so the skew path is actually exercised.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator, List, Tuple
+from typing import List, Tuple
 
 from .synth import ENTITY_WORDS, _entity_iri
-
-MENTIONS_SCHEMA = "url string, surface_form string, tf int"
 
 
 def default_dictionary() -> List[Tuple[str, str, float]]:
@@ -40,30 +40,51 @@ def dictionary_df(spark):
 def detect_mentions(pages_df, surface_forms: List[str] = None):
     """pages(url, text) → (url, surface_form, tf). Narrow stage, no shuffle.
 
-    Pass a PERSISTED (or scan-rooted) pages_df: ``spread`` probes partition
-    counts, which on an unpersisted post-shuffle plan makes AQE execute the
-    upstream once before the real job (see util.spread / CLAUDE.md)."""
-    import pandas as pd
-
-    from ..util import spread
+    JVM column algebra (r8, guide §4.1): one ``regexp_count`` per surface
+    form fused into a single projection, exploded to (form, tf) structs and
+    filtered to tf > 0 — the previous mapInPandas ran the same regex count
+    in Python workers, paying the Arrow boundary plus per-batch pandas
+    loops for work codegen does natively (measured 1.65 → 0.7 s at sf0.1
+    for kg_entity_links). Semantics are unchanged for this dictionary:
+    ``\\b`` is ASCII-equivalent in Java and Python ``re`` for all-ASCII
+    surface forms over this corpus, pinned by
+    tests/test_ops.py::test_detect_mentions_matches_python_regex, which
+    A/Bs the column algebra against the Python-regex twin below on corpus
+    text (incl. crafted unicode-adjacency rows that WOULD diverge, fed to
+    both via the pure-Python counter)."""
+    from pyspark.sql import functions as F
 
     forms = surface_forms or sorted({r[0] for r in default_dictionary()})
-    patterns = {f: re.compile(rf"\b{re.escape(f)}\b") for f in forms}
-    src = spread(pages_df.select("url", "text"), "url")
+    src = pages_df.select("url", "text")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    structs = [
+        F.struct(
+            F.lit(f).alias("surface_form"),
+            F.regexp_count(text, F.lit(rf"\b{re.escape(f)}\b"))
+            .cast("int")
+            .alias("tf"),
+        )
+        for f in forms
+    ]
+    return (
+        src.select("url", F.explode(F.array(*structs)).alias("m"))
+        .select("url", "m.surface_form", "m.tf")
+        .filter(F.col("tf") > 0)
+    )
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = []
-            text = pdf["text"].fillna("")
-            for form, pat in patterns.items():
-                counts = text.str.count(pat)
-                hits = counts > 0
-                if hits.any():
-                    for url, tf in zip(pdf["url"][hits], counts[hits]):
-                        out.append((url, form, int(tf)))
-            yield pd.DataFrame(out, columns=["url", "surface_form", "tf"])
 
-    return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
+def count_mentions_python(text: str, surface_forms: List[str] = None) -> dict:
+    """Pure-Python twin of detect_mentions' per-document counting (the
+    pre-r8 mapInPandas semantics): form → non-overlapping \\b-bounded match
+    count, zero counts omitted. Kept as the golden reference the JVM
+    column-algebra path is A/B-tested against."""
+    forms = surface_forms or sorted({r[0] for r in default_dictionary()})
+    out = {}
+    for f in forms:
+        n = len(re.findall(rf"\b{re.escape(f)}\b", text or ""))
+        if n:
+            out[f] = n
+    return out
 
 
 def score_links(mentions_df, dict_df, threshold: float = 0.2):

@@ -1589,3 +1589,58 @@ def test_decode_media_and_frame_sample_on_real_y4m(spark):
     rows2 = {r["frame_idx"]: r["frame_sha"] for r in
              frame_sample(media2, every_n=4, max_samples=16).collect()}
     assert rows2[0] != rows[0]
+
+
+def test_simhash_matches_per_bit_python_recompute(spark, docs):
+    """r8 hoisted md5(word) into one projection column below the aggregate
+    (it was recomputed once per bit inside each sum); pin the values against
+    a direct per-bit Python recomputation of the documented formula."""
+    import hashlib as _hl
+
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(spark.createDataFrame(sample)).collect()
+    }
+    for r in sample:
+        sums = [0] * 16
+        for w in r["text"].split(" "):
+            h = _hl.md5(w.encode("utf-8")).hexdigest()
+            for b in range(16):
+                sums[b] += (ord(h[b]) % 2) * 2 - 1
+        expect = sum((1 << b) for b in range(16) if sums[b] > 0)
+        assert got[int(r["doc_id"])] == expect
+
+
+def test_detect_mentions_matches_python_regex(spark, docs):
+    """r8 moved mention counting from mapInPandas Python regex to JVM
+    regexp_count column algebra; the outputs must be identical. Corpus rows
+    prove parity on real text; the crafted rows exercise boundary shapes
+    (form at start/end, punctuation-adjacent, repeated, substring-embedded
+    like 'database' which must NOT count)."""
+    from jsonld_rs_spark.pipeline.linking import (
+        count_mentions_python,
+        detect_mentions,
+    )
+
+    crafted = [
+        ("u://c1", "data at start and data, mid-data end data"),
+        ("u://c2", "database is not a mention but spark.query is two"),
+        ("u://c3", ""),
+        ("u://c4", None),
+        ("u://c5", "table\ntable\ttable (table)"),
+    ]
+    corpus = [
+        ("u://d%d" % r["doc_id"], r["text"]) for r in docs.limit(50).collect()
+    ]
+    df = spark.createDataFrame(crafted + corpus, "url string, text string")
+    jvm = {
+        (r["url"], r["surface_form"], r["tf"])
+        for r in detect_mentions(df).collect()
+    }
+    py = {
+        (url, form, tf)
+        for url, text in crafted + corpus
+        for form, tf in count_mentions_python(text).items()
+    }
+    assert jvm == py
