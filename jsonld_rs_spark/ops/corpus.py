@@ -55,8 +55,16 @@ def corpus_filter(
     exactly what a warehouse build does with its decision table); the
     verified-pair CC path owns all the shuffles.
     """
+    from ..util import spread
+
+    # spread BEFORE the scalar scoring (r8): the sandbox corpus scans as one
+    # partition, and the lang/quality column algebra (several full-text
+    # scans per document) otherwise runs in a single task before
+    # shingle_table's own spread can help. No-op at crawl scale where the
+    # scan is already wide.
     passing = (
-        docs.select(
+        spread(docs.select("doc_id", "lang", "text"))
+        .select(
             "doc_id",
             "lang",
             "text",
