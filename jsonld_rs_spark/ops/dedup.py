@@ -310,6 +310,9 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     the explicit single-hash projection keeps the expression tree honest
     about the work done. Identical values (each bit reads one hex char of
     the same digest); pinned by test_simhash_matches_per_bit_python_recompute."""
+    # no spread here (r8): measured 1.06 -> 1.19 s with it at sf0.1 — the
+    # full-text repartition costs what the parallel map buys; the exchange
+    # into the aggregation dominates either way.
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).select("doc_id", F.md5("word").alias("h"))

@@ -39,6 +39,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Both token counters (whitespace + BPE-ish subword proxy) fused into
     ONE projection over one scan — consolidated r5 from token_count +
     bpe_token_count so the driver gate records a single row for both."""
+    # no spread here (r8): measured 0.91 -> 0.82 s with it at sf0.1 — the
+    # repartition of the full text costs about what the parallelism buys at
+    # this per-row weight; left on the scan's own partitioning.
     return docs.select(
         "doc_id",
         token_count_col().alias("n_tokens"),
@@ -150,6 +153,8 @@ def lang_quality(docs: DataFrame) -> DataFrame:
     stop count IS score_en); r6 adds the repetition columns
     (top_word_frac / top_2gram_frac / dup_line_frac). Same column names as
     the parents; still pure column algebra, no shuffle before the sort."""
+    from ..util import spread
+
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     scores = {
         lang: _occurrences(padded, marker).cast("long")
@@ -158,7 +163,11 @@ def lang_quality(docs: DataFrame) -> DataFrame:
     n_tokens_d = token_count_col().cast("double")
     stop_ratio = scores["en"].cast("double") / n_tokens_d
     rep = repetition_cols()
-    return docs.select(
+    # spread first (r8): the repetition folds (sort + aggregate over the
+    # word/shingle arrays) are the most expensive pure column algebra in the
+    # engine, and on a single-file sandbox scan the whole projection ran in
+    # one task (measured 10.2 s noop at sf0.1). No-op on a wide scan.
+    return spread(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
@@ -251,10 +260,16 @@ def fingerprint_all(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """Exact (md5 + head) and winnowing fingerprints in ONE scan —
     consolidated r5 from fingerprint + winnow_fingerprint. Same column
     names as the two parents: (doc_id, fp_md5, fp_head, n_fps, fp)."""
+    from ..util import spread
+
     text = F.col("text")
     grams = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
     hashes = F.transform(grams, lambda i: F.md5(text.substr(i.cast("int"), F.lit(k))))
-    hs = docs.select(
+    # spread first (r8): one md5 per character position is the heaviest
+    # per-row map in ops.text, and on a single-file sandbox scan the whole
+    # projection ran in one task (measured 8.8 s noop at sf0.1). No-op on a
+    # wide scan.
+    hs = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.md5(F.lower(text)).alias("fp_md5"),
         F.md5(F.substring(F.lower(text), 1, 64)).alias("fp_head"),
@@ -295,6 +310,8 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     algebra — regexp_count/regexp_replace run JVM-side, and the SQL twin
     applies the identical two-step order."""
     after_email = F.regexp_replace(F.col("text"), EMAIL_PATTERN, "[EMAIL]")
+    # no spread here (r8): measured 0.64 -> 0.83 s WITH it at sf0.1 — the
+    # full-text repartition exchange costs more than two regex passes gain.
     return docs.select(
         "doc_id",
         F.regexp_replace(after_email, PHONE_PATTERN, "[PHONE]").alias("redacted"),
