@@ -289,13 +289,19 @@ def decode_png(data: bytes):
 def _expand_palette(width: int, height: int, rows, plte: bytes, trns):
     """Index rows → truecolor rows via PLTE lookup; RGBA when tRNS present
     (entries past the tRNS length are opaque, spec §11.3.2). An index at or
-    past the palette end is corrupt data → ValueError (containment)."""
+    past the palette end is corrupt data → ValueError (containment).
+
+    PRESENCE (``trns is not None``), not truthiness, selects RGBA
+    (ADVICE r7): a CRC-valid zero-length tRNS chunk means "alpha plane
+    declared, every entry defaulted opaque" — treating the empty bytes as
+    absent silently dropped the channel and broke the
+    encode_png_indexed(trns=[]) round-trip shape."""
     n = len(plte) // 3
-    out_ch = 4 if trns else 3
+    out_ch = 4 if trns is not None else 3
     lut = []
     for i in range(n):
         rgb = plte[3 * i:3 * i + 3]
-        if trns:
+        if trns is not None:
             alpha = trns[i] if i < len(trns) else 255
             lut.append(bytes(rgb) + bytes([alpha]))
         else:
@@ -343,6 +349,10 @@ def encode_png(width: int, height: int, channels: int, rows, interlace: bool = F
     (codec contract: encode raises or its output decodes)."""
     import zlib
 
+    # explicit channel validation (ADVICE r7): an unsupported count (e.g. 2
+    # for grey+alpha) must raise the module's containment type, not KeyError
+    if channels not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {channels} (want 1, 3 or 4)")
     color_type = {1: 0, 3: 2, 4: 6}[channels]
     _check_png_dims(width, height)
     if len(rows) != height or any(len(r) != width * channels for r in rows):

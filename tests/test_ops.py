@@ -1644,3 +1644,30 @@ def test_detect_mentions_matches_python_regex(spark, docs):
         for form, tf in count_mentions_python(text).items()
     }
     assert jvm == py
+
+
+def test_encode_png_rejects_unsupported_channel_count():
+    """ADVICE r7: channels=2 (grey+alpha is unimplemented) must raise the
+    module's containment type ValueError, not leak a KeyError."""
+    from jsonld_rs_spark.ops.multimodal import encode_png
+
+    rows = [bytes([0, 0]), bytes([1, 1])]
+    with pytest.raises(ValueError, match="channel count"):
+        encode_png(1, 2, 2, rows)
+
+
+def test_png_empty_trns_roundtrips_as_rgba():
+    """ADVICE r7: a present-but-empty tRNS chunk declares an alpha plane
+    with every entry defaulted opaque — decode must yield 4 channels, not
+    silently drop to 3."""
+    from jsonld_rs_spark.ops.multimodal import decode_png, encode_png_indexed
+
+    palette = [(10, 20, 30), (200, 100, 0)]
+    rows = [[0, 1], [1, 0]]
+    png = encode_png_indexed(2, 2, palette, rows, trns=[])
+    w, h, ch, out = decode_png(png)
+    assert (w, h, ch) == (2, 2, 4)
+    for y, row in enumerate(rows):
+        for x, idx in enumerate(row):
+            px = bytes(out[y][4 * x:4 * x + 4])
+            assert px == bytes(palette[idx]) + b"\xff"

@@ -253,7 +253,12 @@ def main() -> None:
 
         def timed(fn):
             # watermark BEFORE the run: shuffle bytes are then summed over
-            # exactly the executions this fn (and its digest) created
+            # exactly the executions this fn (and its digest) created.
+            # Drain the listener bus FIRST (ADVICE r7): queued
+            # SQLExecutionStart/End events from the preceding
+            # localCheckpoint()/synth actions would otherwise leave the
+            # watermark stale and attribute their shuffle bytes to fn.
+            _drain_listener_bus(spark)
             mark = latest_exec_id(spark)
             t0 = time.monotonic()
             out = fn(triples, comp)
