@@ -210,14 +210,16 @@ def sessionize_replay(
     count (the streaming twin of spark.sql.shuffle.partitions, frozen into
     the checkpoint at batch 0). Every shard pays a fixed commit + delta-file
     + cleanup cost PER MICRO-BATCH — including the empty state-cleanup
-    batches an availableNow replay always schedules — so shards beyond the
-    staged input parallelism only multiply fixed costs (measured at
+    batches an availableNow replay always schedules — so shards far beyond
+    the useful parallelism only multiply fixed costs (measured at
     sf0.1/local[32]: 64 shards → 1.9 s per empty batch + 2.2-3.7 s data
-    batch; 8 shards → 0.5 s + 1.6 s; identical output — partitioning only
-    distributes keys). Default: one shard per staged input file,
-    overridable via $SPARK_GRAFT_SESSION_STATE_PARTITIONS; at production
-    scale raise ``n_stage_files`` and this together so each shard holds a
-    meaningful key slice."""
+    batch; 8 shards → 0.5 s + 1.6 s; 16 → 0.7 s + 2.1 s; identical output —
+    partitioning only distributes keys). Default:
+    max(n_stage_files, cores/2) — scale-adaptive, derived from the cluster
+    rather than a constant, so a bigger input on a bigger cluster gets more
+    shards while the local replay stops paying 64 shards of per-batch fixed
+    cost for 1 500 users. Overridable via
+    $SPARK_GRAFT_SESSION_STATE_PARTITIONS."""
     import os as _os
     import shutil
     import tempfile
@@ -225,7 +227,10 @@ def sessionize_replay(
 
     if n_state_partitions is None:
         n_state_partitions = int(
-            _os.environ.get("SPARK_GRAFT_SESSION_STATE_PARTITIONS", n_stage_files)
+            _os.environ.get(
+                "SPARK_GRAFT_SESSION_STATE_PARTITIONS",
+                max(n_stage_files, spark.sparkContext.defaultParallelism // 2),
+            )
         )
     stage = tempfile.mkdtemp(prefix="sess_replay_in_")
     ckpt = tempfile.mkdtemp(prefix="sess_replay_ck_")
