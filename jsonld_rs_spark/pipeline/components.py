@@ -19,12 +19,25 @@ deterministic, partition-independent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # min() skew is already handled by map-side partial aggregation; see
 # _min_neighbor for when a salted two-phase aggregation actually pays.
 SALT_BUCKETS = 1
+
+# Small-graph fast path (r8): below this many distinct edges the label set
+# is computed with a driver-side union-find instead of star rounds. Each
+# star round costs ~5 exchanges + a signature job of FIXED scheduling
+# overhead (~1.5-2 s for a 33-edge graph at local[32]) that dwarfs the data;
+# a bounded collect (≤ 64 Ki edges ≈ a few MB — same class as the ≤4096-row
+# IVF codebook collect, similarity.py) computes the identical min-id
+# labeling in milliseconds. The threshold is data-size-derived, not
+# cluster-derived: above it the Kiveris large-star/small-star path runs
+# unchanged, which is the only shape that survives 100 TB.
+SMALL_GRAPH_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "65536"))
 
 
 def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
@@ -159,6 +172,55 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    # Small-graph fast path (r8): one count over the just-checkpointed edge
+    # set gates it (that job materializes the checkpoints round 1 needed
+    # anyway, so the big-graph path pays only a cached-count). Below the
+    # bound, a driver union-find produces the IDENTICAL labeling — the
+    # distributed algorithm's contract is component = min node id, which is
+    # exactly what union-by-min computes — in one job instead of
+    # O(log n) × (5 exchanges + signature job) rounds. Equivalence is
+    # pinned by tests (fast path vs forced star path on random graphs).
+    n_edges = edges.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # union by MIN root: the surviving root is the smaller id,
+                # so every tree root IS its component's min node id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label_rows = [(n, find(n)) for n in list(parent)]
+        node_type = edges.schema[0].dataType
+        labels = edges.sparkSession.createDataFrame(
+            label_rows,
+            StructType(
+                [
+                    StructField("node", node_type, True),
+                    StructField("component", node_type, True),
+                ]
+            ),
+        )
+        LAST_STATS.clear()
+        LAST_STATS.update({"rounds": 0, "jobs": 0, "local_edges": n_edges})
+        if stats is not None:
+            stats.update({"rounds": 0, "jobs": 0, "local_edges": n_edges})
+        return all_nodes.join(F.broadcast(labels), "node", "left").select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
 
     prev_sig = None
     candidate = False  # last check matched the one before → confirm next round

@@ -124,17 +124,22 @@ def test_large_graph_converges_in_log_rounds(spark):
     assert stats["jobs"] <= stats["rounds"], stats
 
 
-def test_sparse_convergence_check_matches_per_round(spark):
+def test_sparse_convergence_check_matches_per_round(spark, monkeypatch):
     """check_every=2 (opt-in; the default is 1) must label identically to
     check_every=1 and spend fewer signature jobs than rounds; the
     candidate-confirm step makes sparse checking safe regardless of
     oscillation assumptions."""
     import random
 
+    from jsonld_rs_spark.pipeline import components as C
+
     rng = random.Random(5)
     edges = [(f"n{rng.randrange(300)}", f"n{rng.randrange(300)}") for _ in range(350)]
     df = spark.createDataFrame(edges, "src string, dst string")
 
+    # force the star path: this test compares SIGNATURE-JOB counts, which
+    # only exist on the distributed iteration (r8 fast path runs none)
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
     s1, s2 = {}, {}
     per_round = {
         r["node"]: r["component"]
@@ -259,3 +264,37 @@ def test_canonicalize_rowid_unambiguous_with_separator_chars(spark):
     comps = spark.createDataFrame([("s", "CANON")], "node string, component string")
     out = {(r["subj"], r["pred"]) for r in canonicalize_subjects(triples, comps).collect()}
     assert out == {("s\x1fx", "p"), ("CANON", "x\x1fp")}
+
+
+def test_small_graph_fast_path_equals_star_rounds(spark, monkeypatch):
+    """r8: below SMALL_GRAPH_EDGES connected_components computes labels with
+    a driver union-find instead of star rounds. Both paths must produce the
+    identical (node, component=min member) labeling; run the SAME random
+    graphs through each by forcing the threshold."""
+    from jsonld_rs_spark.pipeline import components as C
+
+    rng = random.Random(808)
+    for trial in range(3):
+        n = 60 + 40 * trial
+        edges = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+            for _ in range(n)
+        ] + [("n0", "n0")]  # self-loop row exercises the filter
+        df = spark.createDataFrame(edges, "src string, dst string")
+
+        monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 10**9)
+        fast_stats = {}
+        fast = {
+            r["node"]: r["component"]
+            for r in C.connected_components(df, stats=fast_stats).collect()
+        }
+        assert fast_stats["rounds"] == 0 and "local_edges" in fast_stats
+
+        monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
+        star_stats = {}
+        star = {
+            r["node"]: r["component"]
+            for r in C.connected_components(df, stats=star_stats).collect()
+        }
+        assert star_stats["rounds"] > 0
+        assert fast == star == union_find(edges)
