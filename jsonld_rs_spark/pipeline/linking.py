@@ -38,25 +38,49 @@ def dictionary_df(spark):
 
 
 def detect_mentions(pages_df, surface_forms: List[str] = None):
-    """pages(url, text) → (url, surface_form, tf). Narrow stage, no shuffle.
+    """pages(url, text) → (url, surface_form, tf).
 
-    JVM column algebra (r8, guide §4.1): one ``regexp_count`` per surface
-    form fused into a single projection, exploded to (form, tf) structs and
-    filtered to tf > 0 — the previous mapInPandas ran the same regex count
-    in Python workers, paying the Arrow boundary plus per-batch pandas
-    loops for work codegen does natively (measured 1.65 → 0.7 s at sf0.1
-    for kg_entity_links). Semantics are unchanged for this dictionary:
-    ``\\b`` is ASCII-equivalent in Java and Python ``re`` for all-ASCII
-    surface forms over this corpus, pinned by
-    tests/test_ops.py::test_detect_mentions_matches_python_regex, which
-    A/Bs the column algebra against the Python-regex twin below on corpus
-    text (incl. crafted unicode-adjacency rows that WOULD diverge, fed to
-    both via the pure-Python counter)."""
+    JVM column algebra (r8, guide §4.1), two tiers: a single-scan
+    alternation regex (one pass over the text, explode + partial-aggregated
+    count) when the form set provably makes it equal to independent
+    per-form counting, else one ``regexp_count`` per form fused into one
+    projection. Both replaced the earlier mapInPandas Python-regex pass
+    (Arrow boundary + per-batch pandas loops for work codegen does
+    natively). Semantics unchanged: ``\\b`` is ASCII-equivalent in Java and
+    Python ``re`` for all-ASCII surface forms over this corpus, and both
+    tiers are A/B-pinned against the Python-regex twin below by
+    tests/test_ops.py::test_detect_mentions_matches_python_regex."""
     from pyspark.sql import functions as F
 
-    forms = surface_forms or sorted({r[0] for r in default_dictionary()})
+    forms = sorted(surface_forms or {r[0] for r in default_dictionary()})
     src = pages_df.select("url", "text")
     text = F.coalesce(F.col("text"), F.lit(""))
+    # Single-scan tier (r8): when every form is one \w+ token and none is a
+    # substring of another, one alternation regex scan + explode + partial-
+    # aggregated count is EXACTLY the per-form counts (\b..\b token matches
+    # cannot overlap or consume each other under those preconditions) — one
+    # pass over the corpus text instead of len(forms) passes, which is the
+    # shape that matters when the text is 100 TB. Forms violating the
+    # precondition (multi-word, regex metacharacters, token-substring
+    # overlap, where alternation CONSUMPTION could diverge from independent
+    # counting) fall back to the per-form counting projection below;
+    # equality of both tiers vs the Python twin is pinned in
+    # tests/test_ops.py.
+    single_scan_safe = all(re.fullmatch(r"\w+", f) for f in forms) and not any(
+        a != b and a in b for a in forms for b in forms
+    )
+    if single_scan_safe:
+        pat = r"\b(" + "|".join(forms) + r")\b"
+        return (
+            src.select(
+                "url",
+                F.explode(F.regexp_extract_all(text, F.lit(pat), 1)).alias(
+                    "surface_form"
+                ),
+            )
+            .groupBy("url", "surface_form")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
     structs = [
         F.struct(
             F.lit(f).alias("surface_form"),

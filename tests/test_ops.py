@@ -1645,6 +1645,21 @@ def test_detect_mentions_matches_python_regex(spark, docs):
     }
     assert jvm == py
 
+    # fallback tier (r8): a form set with token-substring overlap and a
+    # multi-word form must take the per-form counting path and still match
+    # the Python twin exactly
+    forms = ["data", "database", "big data"]
+    jvm2 = {
+        (r["url"], r["surface_form"], r["tf"])
+        for r in detect_mentions(df, surface_forms=forms).collect()
+    }
+    py2 = {
+        (url, form, tf)
+        for url, text in crafted + corpus
+        for form, tf in count_mentions_python(text, forms).items()
+    }
+    assert jvm2 == py2
+
 
 def test_encode_png_rejects_unsupported_channel_count():
     """ADVICE r7: channels=2 (grey+alpha is unimplemented) must raise the
