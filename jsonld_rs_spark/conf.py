@@ -33,7 +33,12 @@ def session_builder(master: str = None, app_name: str = "jsonld-rs-spark"):
             cores = int(inner)
     max_bytes = os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024))
     return (
-        builder.config("spark.sql.execution.arrow.maxBytesPerBatch", max_bytes)
+        # zstd (r8, guide §6): measured wall-NEUTRAL on the bucketed triple
+        # sink at sf0.1 (warm write+sync 1.13 s vs snappy's 1.11 s) at 30 %
+        # smaller files (16 vs 23 MB) — every downstream reader pays 30 %
+        # less I/O, which is what matters at corpus scale.
+        builder.config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", max_bytes)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
